@@ -1,0 +1,106 @@
+"""Benchmark: training-step throughput (rays/s, fwd+bwd) on the live
+Kitchen full-IBL-NeRF workload shape.
+
+Workload parity with the reference per-iteration cost (BASELINE.md):
+N_rand=512 rays x (64 coarse + 64+128 fine) samples, split-sum shading
+with the 4x-ray ε-normal estimation and the full reflected-ray second
+march, K=3 coarse radiance heads, 8x256 field — loss + backward + Adam.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: the reference repo publishes no numbers (BASELINE.md);
+baseline is our measured assumption of the reference stack's throughput
+on its RTX 3090 (nerf-pytorch lineage at this per-ray workload runs
+~1.0-1.3 it/s at N_rand=512 => ~600 rays/s; we use 600.0 rays/s).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 600.0
+
+N_RAND = 512
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
+    from ibl_nerf_tpu.render import RenderConfig
+    from ibl_nerf_tpu.train.losses import LossConfig, resolve_phase
+    from ibl_nerf_tpu.train.step import (
+        build_optimizer, init_train_state, make_train_step)
+
+    fcfg = FieldConfig(depth=8, width=256, coarse_radiance_number=3)
+    rcfg = RenderConfig(
+        field=fcfg, n_samples=64, n_importance=128, perturb=True,
+        normal_type="normal_map_from_depth_gradient_epsilon",
+        correct_depth_for_prefiltered_radiance_infer=True,
+    )
+    # phase B (post-10k): approximated radiance on — the steady-state cost.
+    lcfg = LossConfig(
+        load_priors=True, freeze_roughness=True,
+        n_iter_ignore_approximated_radiance=10000,
+        n_iter_ignore_prior=100000,
+        beta_prior_albedo=1.0, beta_irradiance_reg=0.1,
+        coarse_radiance_number=3,
+    )
+    phase = resolve_phase(50000, lcfg)
+
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    variables = {"coarse": init_field_params(k1, fcfg),
+                 "fine": init_field_params(k2, fcfg)}
+
+    from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
+    consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
+
+    # Kitchen-shaped synthetic scene (dataset not shipped in-repo).
+    h, w, n_img = 480, 640, 8
+    rng = np.random.default_rng(0)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * n_img)
+    poses[:, 2, 3] = np.linspace(0, 1, n_img)
+    arrays = {
+        "images": jnp.asarray(rng.uniform(0, 1, (n_img, h, w, 3)).astype(np.float32)),
+        "prefiltered_images": jnp.asarray(
+            rng.uniform(0, 1, (3, n_img, h, w, 3)).astype(np.float32)),
+        "poses": jnp.asarray(poses),
+        "K": jnp.asarray(np.array(
+            [[555.0, 0, w / 2], [0, 555.0, h / 2], [0, 0, 1]], np.float32)),
+    }
+
+    optimizer = build_optimizer(variables, lrate=5e-4, lrate_decay=500,
+                                lcfg=lcfg)
+    state = init_train_state(variables, optimizer)
+
+    step_fn = make_train_step(
+        rcfg, lcfg, phase, optimizer, consts, h, w, N_RAND,
+        prior_irradiance_mean=0.7, near=2.0, far=8.0)
+
+    keys = jax.random.split(jax.random.key(7), WARMUP + ITERS)
+    for i in range(WARMUP):
+        state, scalars = step_fn(state, keys[i], arrays)
+    jax.block_until_ready(scalars["loss_total"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, scalars = step_fn(state, keys[WARMUP + i], arrays)
+    jax.block_until_ready(scalars["loss_total"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = N_RAND * ITERS / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s (fwd+bwd, full IBL workload, 1 chip)",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,296 @@
+"""Reference-compatible config front end.
+
+Parity: /root/reference/src/config_parser.py — the same flag set and
+the same recursive `include=` chain semantics (child config lists one
+parent; deeper files win), on plain argparse (configargparse is not
+available here; we implement its config-file behavior: `key = value`
+lines feed argparse defaults, CLI flags override).
+
+Config file syntax accepted: `key = value`, bare `flag` lines (set a
+store_true flag), `#` comments; `true/false` for booleans; repeated
+keys for append actions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+
+def parse_config_file(path: str) -> list[tuple[str, str | None]]:
+    """Returns ordered (key, value-or-None) pairs from a config file."""
+    pairs = []
+    with open(path) as fp:
+        for line in fp:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                pairs.append((k.strip(), v.strip()))
+            else:
+                pairs.append((line.strip(), None))
+    return pairs
+
+
+def load_include_chain(config_file: str) -> list[str]:
+    """Walk the `include=` chain upward (nearest file last when
+    reversed; parity: config_parser.py:6-26)."""
+    chain = []
+    current = config_file
+    while True:
+        include = None
+        for k, v in parse_config_file(current):
+            if k == "include" and v:
+                include = v
+                break
+        if include is None:
+            return chain
+        parent = os.path.join(Path(current).parent, include)
+        chain.append(parent)
+        current = parent
+
+
+def _coerce(action: argparse.Action, value: str | None):
+    if isinstance(action, (argparse._StoreTrueAction,)):
+        if value is None:
+            return True
+        return value.strip().lower() in ("true", "1", "yes")
+    if value is None:
+        return True
+    t = action.type or str
+    if isinstance(action, argparse._AppendAction):
+        # configargparse list syntax: `key = [a, b, c]` or repeated keys.
+        items = value.strip()
+        if items.startswith("[") and items.endswith("]"):
+            items = items[1:-1]
+            parts = [s.strip() for s in items.split(",") if s.strip()]
+        else:
+            parts = [items]
+        return [t(s) if t is not str else s for s in parts]
+    return t(value)
+
+
+def apply_config_defaults(parser: argparse.ArgumentParser, files: list[str]):
+    """Apply config files as parser defaults, later files win."""
+    actions = {a.dest: a for a in parser._actions}
+    for f in files:
+        updates: dict = {}
+        for k, v in parse_config_file(f):
+            if k in ("include", "config"):
+                continue
+            a = actions.get(k)
+            if a is None:
+                continue
+            val = _coerce(a, v)
+            if isinstance(a, argparse._AppendAction):
+                updates.setdefault(k, [])
+                if isinstance(val, list):
+                    updates[k].extend(val)
+                else:
+                    updates[k].append(val)
+            else:
+                updates[k] = val
+        parser.set_defaults(**updates)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """The full reference flag set (config_parser.py:29-273)."""
+    p = argparse.ArgumentParser("ibl_nerf_tpu")
+    add = p.add_argument
+
+    add("--config", type=str, help="config file path")
+    add("--include", type=str, default=None)
+
+    add("--expname", type=str, default=None)
+    add("--basedir", type=str, default="./logs/")
+    add("--export_basedir", type=str, default=None)
+    add("--datadir", type=str, default="./data/llff/fern")
+
+    add("--calculate_in_linear_rgb", action="store_true")
+    add("--image_scale", type=float, default=1.0)
+    add("--load_depth_range_from_file", action="store_true")
+
+    add("--N_iter", type=int, default=200000)
+    add("--target_load_N_iter", type=int, default=-1)
+
+    add("--netdepth", type=int, default=8)
+    add("--netwidth", type=int, default=256)
+    add("--netdepth_fine", type=int, default=8)
+    add("--netwidth_fine", type=int, default=256)
+    add("--N_rand", type=int, default=32 * 32 * 4)
+    add("--ray_sample", type=str, default="pixel")
+    add("--N_depth_random_volume", type=int, default=256)
+
+    add("--N_iter_ignore_normal", type=int, default=15000)
+    add("--N_iter_ignore_depth", type=int, default=15000)
+    add("--N_iter_ignore_approximated_radiance", type=int, default=5000)
+    add("--N_iter_ignore_prior", type=int, default=10000)
+
+    add("--coarse_radiance_number", type=int, default=0)
+
+    add("--beta_render", type=float, default=1.0)
+    add("--beta_inferred_normal", type=float, default=0.1)
+    add("--beta_albedo_render", type=float, default=1.0)
+    add("--beta_radiance_render", type=float, default=1.0)
+    add("--beta_inferred_depth", type=float, default=1.0)
+    add("--beta_sigma_depth", type=float, default=1.0)
+    add("--beta_roughness_render", type=float, default=1.0)
+    add("--beta_prior_albedo", type=float, default=0.01)
+    add("--beta_prior_irradiance", type=float, default=0.0)
+    add("--beta_irradiance_reg", type=float, default=0.0)
+
+    add("--color_independent_to_direction", action="store_true")
+    add("--initialize_roughness", action="store_true")
+    add("--freeze_roughness", action="store_true")
+    add("--correct_depth_for_prefiltered_radiance_infer", action="store_true")
+    add("--roughness_init", type=float, default=0.5)
+
+    add("--infer_albedo_separate", action="store_true")
+    add("--infer_roughness_separate", action="store_true")
+    add("--infer_irradiance_separate", action="store_true")
+
+    add("--gamma_correct", action="store_true")
+    add("--freeze_radiance", action="store_true")
+
+    add("--albedo_multiplier", type=float, default=1.0)
+    add("--load_priors", action="store_true")
+    add("--prior_type", type=str, default="bell")
+    add("--albedo_prior_type", type=str, default="rgb")
+
+    add("--lrate", type=float, default=5e-4)
+    add("--lrate_decay", type=int, default=250)
+    add("--chunk", type=int, default=1024 * 16)
+    add("--netchunk", type=int, default=1024 * 64)
+    add("--no_batching", action="store_true")
+    add("--no_reload", action="store_true")
+    add("--ft_path", type=str, default=None)
+
+    add("--N_samples", type=int, default=64)
+    add("--N_importance", type=int, default=0)
+    add("--perturb", type=float, default=1.0)
+    add("--use_viewdirs", action="store_true")
+    add("--i_embed", type=int, default=0)
+    add("--multires", type=int, default=10)
+    add("--multires_views", type=int, default=4)
+    add("--raw_noise_std", type=float, default=0.0)
+
+    add("--render_only", action="store_true")
+    add("--render_test", action="store_true")
+    add("--render_factor", type=int, default=1)
+
+    add("--infer_normal", action="store_true")
+    add("--infer_normal_at_surface", action="store_true")
+    add("--infer_normal_target", type=str,
+        default="normal_map_from_sigma_gradient")
+    add("--infer_depth", action="store_true")
+    add("--use_radiance_linear", action="store_true")
+    add("--infer_visibility", action="store_true")
+
+    add("--use_gradient_for_incident_radiance", action="store_true")
+    add("--use_environment_map", action="store_true")
+    add("--N_envmap_size", type=int, default=16)
+    add("--lrate_env_map", type=float, default=5e-4)
+    add("--use_monte_carlo_integration", action="store_true")
+    add("--monte_carlo_integration_method", type=str, default="surface")
+
+    add("--learn_normal_from_oracle", action="store_true")
+    add("--learn_albedo_from_oracle", action="store_true")
+
+    add("--calculate_irradiance_from_gt", action="store_true")
+    add("--calculate_roughness_from_gt", action="store_true")
+    add("--calculate_albedo_from_gt", action="store_true")
+    add("--roughness_exp_coefficient", type=float, default=1.0)
+
+    add("--calculate_all_analytic_normals", action="store_true")
+    add("--calculating_normal_type", type=str, default="ground_truth")
+
+    add("--N_hemisphere_sample_sqrt", type=int, default=16)
+    add("--depth_map_from_ground_truth", action="store_true")
+    add("--train_depth_from_ground_truth", action="store_true")
+    add("--lut_coefficient", type=str, default="F")
+
+    add("--precrop_iters", type=int, default=0)
+    add("--precrop_frac", type=float, default=0.5)
+    add("--epsilon_for_numerical_normal", type=float, default=0.01)
+    add("--epsilon_direction_for_numerical_normal", type=float, default=0.005)
+    add("--time_limit_in_minute", type=float, default=-1)
+
+    add("--extract_mesh", action="store_true")
+
+    add("--dataset_type", type=str, default="mitsuba")
+    add("--testskip", type=int, default=8)
+    add("--near_plane", type=float, default=1.0)
+    add("--far_plane", type=float, default=20.0)
+    add("--white_bkgd", action="store_true")
+    add("--lindisp", action="store_true")
+
+    add("--summary_step", type=int, default=100)
+    add("--i_print", type=int, default=100)
+    add("--i_img", type=int, default=500)
+    add("--i_weights", type=int, default=10000)
+    add("--i_testset", type=int, default=50000)
+    add("--i_video", type=int, default=50000)
+
+    # editing
+    add("--edit_intrinsic", action="store_true")
+    add("--editing_img_idx", type=int, default=0)
+    add("--edit_roughness", action="store_true")
+    add("--edit_albedo", action="store_true")
+    add("--edit_normal", action="store_true")
+    add("--edit_depth", action="store_true")
+    add("--num_edit_objects", type=int, default=1)
+    add("--edit_albedo_by_img", action="store_true")
+    add("--edit_normal_by_img", action="store_true")
+    add("--edit_roughness_by_img", action="store_true")
+    add("--edit_irradiance_by_img", action="store_true")
+    add("--editing_target_roughness_list", type=float, action="append")
+    add("--editing_target_albedo_list", type=float, action="append")
+    add("--editing_target_irradiance_list", type=float, action="append")
+
+    # inserting
+    add("--insert_object", action="store_true")
+    add("--inserting_img_idx", type=int, default=0)
+    add("--num_insert_objects", type=int, default=1)
+    add("--inserting_target_roughness_list", type=float, action="append")
+    add("--inserting_target_albedo_list", type=float, action="append")
+    add("--inserting_target_irradiance_list", type=float, action="append")
+
+    # TPU-native additions
+    add("--compute_dtype", type=str, default="float32",
+        help="float32 | bfloat16 (MXU fast path)")
+    add("--mesh_devices", type=int, default=0,
+        help="0 = all local devices; N = first N")
+    return p
+
+
+def parse_with_includes(argv=None) -> argparse.Namespace:
+    """Parse CLI args; when --config is given, resolve its include
+    chain and apply (root-first) as defaults. CLI flags win."""
+    pre = build_parser()
+    args, _ = pre.parse_known_args(argv)
+
+    parser = build_parser()
+    if args.config:
+        chain = load_include_chain(args.config)
+        files = list(reversed(chain)) + [args.config]
+        apply_config_defaults(parser, files)
+    out = parser.parse_args(argv)
+
+    if out.expname is None and out.config:
+        out.expname = os.path.splitext(os.path.basename(out.config))[0]
+    return out
+
+
+def export_config(args: argparse.Namespace, basedir: str):
+    """Dump resolved args + the raw config into the logdir (parity:
+    config_parser.py:276-289)."""
+    expdir = os.path.join(basedir, args.expname)
+    os.makedirs(expdir, exist_ok=True)
+    with open(os.path.join(expdir, "args.txt"), "w") as f:
+        for k in sorted(vars(args)):
+            f.write(f"{k} = {getattr(args, k)}\n")
+    if args.config:
+        with open(os.path.join(expdir, "config.txt"), "w") as f:
+            f.write(open(args.config).read())

@@ -1,0 +1,106 @@
+"""Static renderer configuration.
+
+The reference drives its renderer through a ~35-key kwargs dict
+(/root/reference/src/nerf_models/ibl_nerf.py:380-422) plus per-call
+flags. Here every mode switch is a frozen, hashable dataclass used as a
+jit static argument, so each live mode compiles to its own specialized
+XLA program (no data-dependent python control flow at trace time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ibl_nerf_tpu.models.field import FieldConfig
+
+
+NORMAL_TYPES = (
+    "ground_truth",
+    "inferred_normal_map",
+    "normal_map_from_depth_gradient",
+    "normal_map_from_depth_gradient_epsilon",
+    "normal_map_from_depth_gradient_direction",
+    "normal_map_from_depth_gradient_direction_epsilon",
+    "normal_map_from_sigma_gradient",
+    "normal_map_from_sigma_gradient_surface",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EditConfig:
+    """Material-edit / object-insertion configuration.
+
+    Parity: mask decode + overrides at ibl_nerf_renderer.py:218-238,
+    377-410 (masks become `where` selects, not boolean indexing).
+    """
+
+    mode: str = "edit"  # "edit" | "insert"
+    num_objects: int = 1
+    edit_normal: bool = False
+    edit_albedo: bool = False
+    edit_albedo_by_img: bool = False
+    edit_roughness: bool = False
+    edit_roughness_by_img: bool = False
+    edit_depth: bool = False
+    # Per-object constant overrides (flattened rgb triples for albedo).
+    target_albedo: tuple[float, ...] = ()
+    target_roughness: tuple[float, ...] = ()
+    target_irradiance: tuple[float, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All static knobs of one render mode."""
+
+    field: FieldConfig = FieldConfig()
+
+    # sampling
+    n_samples: int = 64
+    n_importance: int = 128
+    perturb: bool = True
+    lindisp: bool = False
+    raw_noise_std: float = 0.0
+
+    # radiance parameterization / output transforms
+    use_radiance_linear: bool = False
+    gamma_correct: bool = False
+
+    # split-sum shading
+    approximate_radiance: bool = False
+    normal_type: str = "ground_truth"
+    epsilon: float = 0.01
+    epsilon_direction: float = 0.005
+    lut_coefficient: str = "F"  # "F" | "F0"
+    correct_depth_for_prefiltered_radiance_infer: bool = False
+    use_gradient_for_incident_radiance: bool = False
+
+    # gt substitutions
+    depth_map_from_ground_truth: bool = False
+    calculate_albedo_from_gt: bool = False
+    calculate_roughness_from_gt: bool = False
+    calculate_irradiance_from_gt: bool = False
+
+    # staged freezing (reference forward_freezed semantics)
+    freeze_radiance: bool = False
+    freeze_roughness: bool = False
+
+    # aux heads
+    infer_normal: bool = False
+    infer_normal_at_surface: bool = False
+    infer_depth: bool = False
+    infer_albedo_separate: bool = False
+    infer_roughness_separate: bool = False
+    infer_irradiance_separate: bool = False
+
+    # editing / insertion
+    edit: EditConfig | None = None
+
+    # numerics
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU fast path)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def prefiltered_levels(self) -> int:
+        return 1 + self.field.coarse_radiance_number

@@ -1,0 +1,192 @@
+"""Golden end-to-end parity: our jitted renderer vs the PyTorch reference
+renderer (imported from /root/reference/src, run on CPU) with identical
+ported weights, deterministic sampling (perturb=0, noise=0).
+
+Covers BASELINE.json configs 1-3 capability slices:
+ - radiance-only NeRF coarse+fine,
+ - intrinsic heads composited,
+ - full split-sum shading with epsilon normals + BRDF LUT + mip interp.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import torch
+
+# The reference renderer imports torchvision at module top (only used by
+# its dataset code, which we never call) — stub it out.
+if "torchvision" not in sys.modules:
+    _tv = types.ModuleType("torchvision")
+    _tr = types.ModuleType("torchvision.transforms")
+    _tv.transforms = _tr
+    sys.modules["torchvision"] = _tv
+    sys.modules["torchvision.transforms"] = _tr
+
+sys.path.insert(0, "/root/reference/src")
+
+from ibl_nerf_tpu.models.field import FieldConfig
+from ibl_nerf_tpu.render import RenderConfig, render_rays, make_ray_batch
+from ibl_nerf_tpu.utils.port import field_params_from_torch_state
+
+
+D, W, K_COARSE = 8, 64, 3
+B, NS, NI = 12, 32, 16
+
+
+def np_sd(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def ref_setup():
+    from nerf_models.ibl_nerf import IBLNeRF, run_network
+    from nerf_models.positional_embedder import get_embedder
+
+    torch.manual_seed(7)
+    coarse = IBLNeRF(D=D, W=W, input_ch=63, input_ch_views=27, skips=[4],
+                     coarse_radiance_number=K_COARSE,
+                     is_color_independent_to_direction=False)
+    fine = IBLNeRF(D=D, W=W, input_ch=63, input_ch_views=27, skips=[4],
+                   coarse_radiance_number=K_COARSE,
+                   is_color_independent_to_direction=False)
+
+    embed_fn, _ = get_embedder(10, 0)
+    embeddirs_fn, _ = get_embedder(4, 0)
+
+    def network_query_fn(inputs, viewdirs, network_fn):
+        return run_network(inputs, viewdirs, network_fn, embed_fn=embed_fn,
+                           embeddirs_fn=embeddirs_fn, netchunk=1 << 16)
+
+    rng = np.random.default_rng(3)
+    rays_o = rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32)
+    rays_d = rng.standard_normal((B, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = 2.0, 6.0
+
+    lut = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+
+    return {
+        "coarse": coarse, "fine": fine, "query": network_query_fn,
+        "rays_o": rays_o, "rays_d": rays_d, "near": near, "far": far,
+        "lut": lut,
+    }
+
+
+def run_reference(s, approximate_radiance):
+    from nerf_models.ibl_nerf_renderer import render_rays as ref_render_rays
+
+    ray_batch = np.concatenate(
+        [s["rays_o"], s["rays_d"],
+         np.full((B, 1), s["near"], np.float32),
+         np.full((B, 1), s["far"], np.float32),
+         s["rays_d"]], axis=-1)
+
+    lut_t = torch.tensor(s["lut"]).permute(2, 0, 1)
+
+    with torch.no_grad():
+        out = ref_render_rays(
+            torch.tensor(ray_batch),
+            network_fn=s["coarse"],
+            network_query_fn=s["query"],
+            N_samples=NS,
+            N_importance=NI,
+            network_fine=s["fine"],
+            perturb=0.0,
+            raw_noise_std=0.0,
+            approximate_radiance=approximate_radiance,
+            brdf_lut=lut_t,
+            coarse_radiance_number=K_COARSE,
+            target_normal_map_for_radiance_calculation=(
+                "normal_map_from_depth_gradient_epsilon"),
+            epsilon=0.02,
+            lut_coefficient="F",
+            use_radiance_linear=False,
+            gamma_correct=False,
+        )
+    return {k: v.numpy() for k, v in out.items()
+            if isinstance(v, torch.Tensor)}
+
+
+def run_ours(s, approximate_radiance):
+    fcfg = FieldConfig(depth=D, width=W, coarse_radiance_number=K_COARSE)
+    rcfg = RenderConfig(
+        field=fcfg, n_samples=NS, n_importance=NI, perturb=False,
+        approximate_radiance=approximate_radiance,
+        normal_type="normal_map_from_depth_gradient_epsilon",
+        epsilon=0.02,
+    )
+    variables = {
+        "coarse": field_params_from_torch_state(np_sd(s["coarse"]), K_COARSE, D),
+        "fine": field_params_from_torch_state(np_sd(s["fine"]), K_COARSE, D),
+    }
+    consts = {"brdf_lut": jnp.asarray(s["lut"])}
+    batch = make_ray_batch(jnp.asarray(s["rays_o"]), jnp.asarray(s["rays_d"]),
+                           s["near"], s["far"])
+    out = render_rays(jax.random.key(0), variables, consts, batch, rcfg)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+KEYS_BASIC = [
+    "radiance_map", "radiance_map_1", "radiance_map_2", "radiance_map_3",
+    "albedo_map", "roughness_map", "irradiance_map",
+    "depth_map", "disp_map", "acc_map", "weights", "z_std",
+    "radiance_map0", "albedo_map0", "depth_map0",
+]
+KEYS_SHADED = KEYS_BASIC + [
+    "color_map", "specular_map", "diffuse_map", "n_dot_v_map",
+    "target_normal_map", "reflected_radiance_map",
+    "prefiltered_reflected_map", "color_map0",
+]
+
+
+class TestRendererParity:
+    def test_basic_maps(self, ref_setup):
+        ref = run_reference(ref_setup, approximate_radiance=False)
+        ours = run_ours(ref_setup, approximate_radiance=False)
+        for k in KEYS_BASIC:
+            assert k in ours, f"missing {k}"
+            r = ref[k]
+            o = ours[k]
+            if k == "irradiance_map":
+                # ours is (B, 1) target_irradiance_map == reference
+                r = r.reshape(o.shape)
+            np.testing.assert_allclose(
+                o, r, atol=5e-4, rtol=1e-3, err_msg=f"map {k}")
+
+    def test_shaded_maps(self, ref_setup):
+        ref = run_reference(ref_setup, approximate_radiance=True)
+        ours = run_ours(ref_setup, approximate_radiance=True)
+        for k in KEYS_SHADED:
+            assert k in ours, f"missing {k}"
+            r = ref[k]
+            o = ours[k]
+            if r.shape != o.shape:
+                r = r.reshape(o.shape)
+            np.testing.assert_allclose(
+                o, r, atol=2e-3, rtol=5e-3, err_msg=f"map {k}")
+
+    def test_jit_compiles(self, ref_setup):
+        s = ref_setup
+        fcfg = FieldConfig(depth=D, width=W, coarse_radiance_number=K_COARSE)
+        rcfg = RenderConfig(field=fcfg, n_samples=NS, n_importance=NI,
+                            perturb=True, approximate_radiance=True,
+                            normal_type="normal_map_from_depth_gradient_epsilon")
+        variables = {
+            "coarse": field_params_from_torch_state(np_sd(s["coarse"]), K_COARSE, D),
+            "fine": field_params_from_torch_state(np_sd(s["fine"]), K_COARSE, D),
+        }
+        consts = {"brdf_lut": jnp.asarray(s["lut"])}
+        batch = make_ray_batch(jnp.asarray(s["rays_o"]), jnp.asarray(s["rays_d"]),
+                               s["near"], s["far"])
+
+        f = jax.jit(lambda key, b: render_rays(key, variables, consts, b, rcfg))
+        out = f(jax.random.key(1), batch)
+        assert np.isfinite(np.asarray(out["radiance_map"])).all()
+        # second call hits the cache
+        out2 = f(jax.random.key(2), batch)
+        assert out2["radiance_map"].shape == (B, 3)
