@@ -213,17 +213,34 @@ def load_mitsuba(
             "object_insert_depth": object_insert,
             "object_insert_normal": object_insert}
 
+    all_paths = [_mitsuba_frame_paths(basedir, split, fid, prior_type)
+                 for fid in frame_ids]
+
+    # Fast path: native threaded PNG decode (native/ibl_data.cc) when no
+    # resampling is needed (decode is bit-exact vs cv2); otherwise the
+    # cv2 thread pool below.
+    native_loaded: dict[str, np.ndarray] = {}
+    if image_scale == 1:
+        from ibl_nerf_tpu.data import native_loader
+
+        if native_loader.native_available():
+            for k, on in want.items():
+                if not on or k.endswith("depth"):
+                    continue
+                out = native_loader.batch_load_png_rgb(
+                    [p[k] for p in all_paths], height, width,
+                    n_threads=num_workers)
+                if out is not None:
+                    native_loaded[k] = out
+
     def load_frame(i):
-        fid = frame_ids[i]
-        paths = _mitsuba_frame_paths(basedir, split, fid, prior_type)
+        paths = all_paths[i]
         s = {}
         for k, on in want.items():
-            if not on:
+            if not on or k in native_loaded:
                 continue
-            if k.endswith("depth") or k == "depth":
+            if k.endswith("depth"):
                 s[k] = _load_npy(paths[k], image_scale)[..., None]
-            elif k == "roughness" or k == "edit_roughness":
-                s[k] = _load_image(paths[k], image_scale)[..., 0:1]
             else:
                 s[k] = _load_image(paths[k], image_scale)
         pose = np.array(frames[i]["transform"], dtype=np.float32)
@@ -237,9 +254,15 @@ def load_mitsuba(
         samples = list(ex.map(load_frame, range(len(frames))))
 
     def stack(k):
-        if k not in samples[0]:
+        if k in native_loaded:
+            arr = native_loaded[k]
+        elif k in samples[0]:
+            arr = np.stack([s[k] for s in samples], 0)
+        else:
             return None
-        return np.stack([s[k] for s in samples], 0)
+        if k in ("roughness", "edit_roughness"):
+            arr = arr[..., 0:1]
+        return arr
 
     data = SceneData(
         name="mitsuba", split=split, height=height, width=width, focal=focal,

@@ -1,0 +1,296 @@
+"""The training driver.
+
+Parity: /root/reference/src/train.py:30-542 — staged losses, periodic
+checkpoint + testset render, per-group LR decay, elapsed-time
+accounting with the `time_limit_in_minute` equal-time mode, and the
+final `train_info_step_time.json`.
+
+TPU-first: the phase schedule compiles one specialized step per phase
+(3 live phases); within a phase every iteration is a single donated jit
+call with on-device batch sampling — the host only feeds PRNG keys and
+reads scalars every `summary_step`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
+from ibl_nerf_tpu.data.dataset import load_scene
+from ibl_nerf_tpu.data.sampler import device_arrays_from_scene
+from ibl_nerf_tpu.models.aux_mlp import (
+    init_position_direction_mlp,
+    init_position_mlp,
+)
+from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
+from ibl_nerf_tpu.render.config import RenderConfig
+from ibl_nerf_tpu.train import checkpoint as ckpt_lib
+from ibl_nerf_tpu.train.losses import LossConfig, resolve_phase
+from ibl_nerf_tpu.train.step import (
+    build_optimizer,
+    init_train_state,
+    make_train_step,
+)
+from ibl_nerf_tpu.utils.logging import load_logger, ScalarWriter
+
+
+def field_config_from_args(args) -> FieldConfig:
+    return FieldConfig(
+        depth=args.netdepth, width=args.netwidth,
+        multires=args.multires, multires_views=args.multires_views,
+        coarse_radiance_number=args.coarse_radiance_number,
+        color_independent_to_direction=args.color_independent_to_direction,
+    )
+
+
+def render_config_from_args(args, fcfg: FieldConfig) -> RenderConfig:
+    return RenderConfig(
+        field=fcfg,
+        n_samples=args.N_samples,
+        n_importance=args.N_importance,
+        perturb=args.perturb > 0,
+        lindisp=args.lindisp,
+        raw_noise_std=args.raw_noise_std,
+        use_radiance_linear=args.use_radiance_linear,
+        gamma_correct=args.gamma_correct,
+        normal_type=args.calculating_normal_type,
+        epsilon=args.epsilon_for_numerical_normal,
+        epsilon_direction=args.epsilon_direction_for_numerical_normal,
+        lut_coefficient=args.lut_coefficient,
+        correct_depth_for_prefiltered_radiance_infer=(
+            args.correct_depth_for_prefiltered_radiance_infer),
+        use_gradient_for_incident_radiance=(
+            args.use_gradient_for_incident_radiance),
+        depth_map_from_ground_truth=args.depth_map_from_ground_truth,
+        calculate_albedo_from_gt=args.calculate_albedo_from_gt,
+        calculate_roughness_from_gt=args.calculate_roughness_from_gt,
+        calculate_irradiance_from_gt=args.calculate_irradiance_from_gt,
+        infer_normal=args.infer_normal,
+        infer_normal_at_surface=args.infer_normal_at_surface,
+        infer_depth=args.infer_depth,
+        infer_albedo_separate=args.infer_albedo_separate,
+        infer_roughness_separate=args.infer_roughness_separate,
+        infer_irradiance_separate=args.infer_irradiance_separate,
+        compute_dtype=args.compute_dtype,
+    )
+
+
+def loss_config_from_args(args) -> LossConfig:
+    return LossConfig(
+        beta_render=args.beta_render,
+        beta_radiance_render=args.beta_radiance_render,
+        beta_albedo_render=args.beta_albedo_render,
+        beta_inferred_normal=args.beta_inferred_normal,
+        beta_inferred_depth=args.beta_inferred_depth,
+        beta_sigma_depth=args.beta_sigma_depth,
+        beta_roughness_render=args.beta_roughness_render,
+        beta_prior_albedo=args.beta_prior_albedo,
+        beta_prior_irradiance=args.beta_prior_irradiance,
+        beta_irradiance_reg=args.beta_irradiance_reg,
+        n_iter_ignore_normal=args.N_iter_ignore_normal,
+        n_iter_ignore_depth=args.N_iter_ignore_depth,
+        n_iter_ignore_approximated_radiance=(
+            args.N_iter_ignore_approximated_radiance),
+        n_iter_ignore_prior=args.N_iter_ignore_prior,
+        coarse_radiance_number=args.coarse_radiance_number,
+        load_priors=args.load_priors,
+        albedo_prior_type=args.albedo_prior_type,
+        learn_albedo_from_oracle=args.learn_albedo_from_oracle,
+        initialize_roughness=args.initialize_roughness,
+        roughness_init=args.roughness_init,
+        infer_normal=args.infer_normal,
+        infer_normal_target=args.infer_normal_target,
+        infer_depth=args.infer_depth,
+        depth_map_from_ground_truth=args.depth_map_from_ground_truth,
+        train_depth_from_ground_truth=args.train_depth_from_ground_truth,
+        freeze_radiance=args.freeze_radiance,
+        freeze_roughness=args.freeze_roughness,
+    )
+
+
+def init_variables(key, args, fcfg: FieldConfig) -> dict:
+    """Model factory (parity: create_IBLNeRF, ibl_nerf.py:255-335)."""
+    keys = iter(jax.random.split(key, 16))
+    variables = {"coarse": init_field_params(next(keys), fcfg)}
+    if args.N_importance > 0:
+        variables["fine"] = init_field_params(next(keys), fcfg)
+    in_ch, in_ch_views = fcfg.input_ch, fcfg.input_ch_views
+    if args.infer_depth:
+        variables["depth_mlp"] = init_position_direction_mlp(
+            next(keys), args.netdepth, args.netwidth, in_ch, in_ch_views, 1)
+    if args.infer_visibility:
+        variables["visibility_mlp"] = init_position_direction_mlp(
+            next(keys), args.netdepth, args.netwidth, in_ch, in_ch_views, 1)
+    if args.infer_normal:
+        variables["normal_mlp"] = init_position_mlp(
+            next(keys), args.netdepth, args.netwidth, in_ch, 3)
+    if args.infer_albedo_separate:
+        variables["albedo_mlp"] = init_position_mlp(
+            next(keys), args.netdepth, args.netwidth, in_ch, 3)
+    if args.infer_roughness_separate:
+        variables["roughness_mlp"] = init_position_mlp(
+            next(keys), args.netdepth, args.netwidth, in_ch, 1)
+    if args.infer_irradiance_separate:
+        variables["irradiance_mlp"] = init_position_mlp(
+            next(keys), args.netdepth, args.netwidth, in_ch, 1)
+    return variables
+
+
+def _load_params(args):
+    return {
+        "image_scale": args.image_scale,
+        "coarse_radiance_number": args.coarse_radiance_number,
+        "near_plane": args.near_plane,
+        "far_plane": args.far_plane,
+        "load_depth_range_from_file": args.load_depth_range_from_file,
+        "load_priors": args.load_priors,
+        "prior_type": args.prior_type,
+    }
+
+
+def train(args):
+    logger = load_logger("train")
+
+    # (1) data
+    t0 = time.time()
+    load_params = _load_params(args)
+    if args.dataset_type == "mitsuba":
+        load_params.update(load_normal=True, load_albedo=True,
+                           load_depth=args.depth_map_from_ground_truth
+                           or args.train_depth_from_ground_truth)
+    scene = load_scene(args.dataset_type, args.datadir, split="train",
+                       **load_params)
+    val_params = dict(load_params)
+    val_params["load_priors"] = False
+    if args.dataset_type == "mitsuba":
+        val_params.update(load_albedo=True, load_normal=True,
+                          load_irradiance=True, skip=args.testskip or 10)
+    else:
+        val_params["skip"] = 1
+    scene_val = load_scene(args.dataset_type, args.datadir, split="test",
+                           **val_params)
+    logger.info("data loaded in %.1fs: train %d, val %d imgs (%dx%d)",
+                time.time() - t0, len(scene), len(scene_val),
+                scene.width, scene.height)
+
+    # (2) logdir
+    basedir, expname = args.basedir, args.expname
+    logdir = os.path.join(basedir, expname)
+    os.makedirs(logdir, exist_ok=True)
+    writer = ScalarWriter(logdir)
+
+    # (3) model + optimizer + restore
+    fcfg = field_config_from_args(args)
+    rcfg = render_config_from_args(args, fcfg)
+    lcfg = loss_config_from_args(args)
+
+    variables = init_variables(jax.random.key(0), args, fcfg)
+    consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
+
+    optimizer = build_optimizer(variables, lrate=args.lrate,
+                                lrate_decay=args.lrate_decay, lcfg=lcfg)
+    state = init_train_state(variables, optimizer)
+    elapsed_time = 0.0
+    if not args.no_reload:
+        state, elapsed_time, found = ckpt_lib.restore_checkpoint(
+            logdir, state, ft_path=args.ft_path,
+            target_step=args.target_load_N_iter)
+        if found:
+            logger.info("restored checkpoint at step %d (elapsed %.0fs)",
+                        int(state.step), elapsed_time)
+
+    start = int(state.step) + 1
+
+    # (4) device-resident dataset
+    include = ("normal", "albedo", "roughness", "depth", "prior_albedo",
+               "prior_irradiance")
+    arrays = device_arrays_from_scene(scene, include=include)
+
+    # (5) phase segmentation
+    n_iters = args.N_iter + 1
+    time_limit_sec = -1.0
+    if args.time_limit_in_minute > 0:
+        time_limit_sec = args.time_limit_in_minute * 60
+        n_iters = 1000000
+
+    boundaries = sorted({
+        0, start,
+        args.N_iter_ignore_approximated_radiance,
+        args.N_iter_ignore_prior,
+        args.N_iter_ignore_normal if args.infer_normal else 0,
+        args.N_iter_ignore_depth if args.infer_depth else 0,
+        args.precrop_iters,
+        n_iters,
+    })
+    boundaries = [b for b in boundaries if start <= b <= n_iters]
+    if not boundaries or boundaries[0] != start:
+        boundaries.insert(0, start)
+    if boundaries[-1] != n_iters:
+        boundaries.append(n_iters)
+
+    def save_ckpt(i):
+        path = ckpt_lib.save_checkpoint(logdir, i, state, elapsed_time)
+        logger.info("saved checkpoint %s", path)
+
+    def run_testset(i):
+        from ibl_nerf_tpu.eval.render_path import render_path
+
+        testdir = os.path.join(logdir, f"testset_{i:06d}")
+        rcfg_test = rcfg.replace(approximate_radiance=True)
+        render_path(state.variables, consts, scene_val, rcfg_test,
+                    savedir=testdir, render_factor=args.render_factor)
+        logger.info("saved test set to %s", testdir)
+
+    stop_training = False
+    global_step = start
+    for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
+        if stop_training or seg_start >= seg_end:
+            continue
+        phase = resolve_phase(seg_start, lcfg)
+        precrop = seg_start < args.precrop_iters
+        step_fn = make_train_step(
+            rcfg, lcfg, phase, optimizer, consts,
+            scene.height, scene.width, args.N_rand,
+            prior_irradiance_mean=scene.prior_irradiance_mean,
+            near=scene.near, far=scene.far,
+            precrop=precrop, precrop_frac=args.precrop_frac)
+        logger.info("phase segment [%d, %d): %s", seg_start, seg_end, phase)
+
+        for i in range(seg_start, seg_end):
+            it_t0 = time.time()
+            key = jax.random.fold_in(jax.random.key(42), i)
+            state, scalars = step_fn(state, key, arrays)
+
+            if i % args.summary_step == 0:
+                scalars = jax.device_get(scalars)
+                writer.write(i, {**{k: float(v) for k, v in scalars.items()},
+                                 "elapsed_time": elapsed_time})
+                logger.info("iter %d loss %.5f", i,
+                            float(scalars["loss_total"]))
+
+            elapsed_time += time.time() - it_t0
+            global_step = i
+
+            if time_limit_sec > 0 and elapsed_time > time_limit_sec:
+                logger.info("time limit reached (%.0fs)", elapsed_time)
+                run_testset(i)
+                save_ckpt(i)
+                stop_training = True
+                break
+
+            if i % args.i_weights == 0 and i > 0:
+                save_ckpt(i)
+            if i % args.i_testset == 0 and i > 0:
+                run_testset(i)
+
+    with open(os.path.join(logdir, "train_info_step_time.json"), "w") as f:
+        json.dump({"training_time": elapsed_time,
+                   "global_step": global_step}, f, indent=4)
+    writer.close()
+    return state
