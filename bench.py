@@ -41,6 +41,7 @@ def main():
         field=fcfg, n_samples=64, n_importance=128, perturb=True,
         normal_type="normal_map_from_depth_gradient_epsilon",
         correct_depth_for_prefiltered_radiance_infer=True,
+        compute_dtype="bfloat16",  # measured fastest variant (see git log)
     )
     # phase B (post-10k): approximated radiance on — the steady-state cost.
     lcfg = LossConfig(

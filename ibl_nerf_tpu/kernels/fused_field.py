@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ibl_nerf_tpu.models.field import FieldConfig
 
 LANE = 128
-TILE = 512  # points per grid step
+TILE = 1024  # points per grid step
 
 
 def _pad_to(x: np.ndarray | jnp.ndarray, rows: int, cols: int):
@@ -222,13 +222,21 @@ def _embed_and_pad(pts, dirs, cfg: FieldConfig, dtype):
     return x.astype(dtype)
 
 
+def _auto_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def fused_field_apply(packed: dict, pts: jnp.ndarray, dirs: jnp.ndarray,
-                      cfg: FieldConfig, interpret: bool = False):
+                      cfg: FieldConfig, interpret: bool | None = None):
     """Full field query via the fused kernel.
 
     pts (..., S, 3), dirs (..., 3) -> raw (..., S, 9+3K). No gradient
-    rule — use on stop_gradient paths only.
+    rule — use on stop_gradient paths only. interpret=None auto-selects
+    interpreter mode off-TPU (CPU tests).
     """
+    interpret = _auto_interpret(interpret)
     dtype = packed["w0"].dtype
     x = _embed_and_pad(pts, dirs, cfg, dtype)
     n_pts = int(np.prod(pts.shape[:-1]))
@@ -239,8 +247,9 @@ def fused_field_apply(packed: dict, pts: jnp.ndarray, dirs: jnp.ndarray,
 
 
 def fused_field_density(packed: dict, pts: jnp.ndarray, cfg: FieldConfig,
-                        interpret: bool = False):
+                        interpret: bool | None = None):
     """Density-only query via the fused kernel: (..., 3) -> (..., 1)."""
+    interpret = _auto_interpret(interpret)
     dtype = packed["w0"].dtype
     x = _embed_and_pad(pts, None, cfg, dtype)
     n_pts = int(np.prod(pts.shape[:-1]))

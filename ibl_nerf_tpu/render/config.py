@@ -95,8 +95,9 @@ class RenderConfig:
     # editing / insertion
     edit: EditConfig | None = None
 
-    # numerics
+    # numerics / kernels
     compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU fast path)
+    use_pallas: bool = False        # fused-field kernel on no-grad sweeps
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -60,26 +60,56 @@ stop = jax.lax.stop_gradient
 # ---------------------------------------------------------------------------
 
 def _make_queries(field_params, rcfg: RenderConfig):
-    """Closures querying the field; embedding fused into the trace."""
+    """Closures querying the field; embedding fused into the trace.
+
+    Returns (query_full, query_sigma, query_full_ng, query_sigma_ng).
+    The `_ng` (no-gradient) variants may route through the Pallas
+    fused-field kernel (rcfg.use_pallas) — legal only on stop_gradient
+    paths (the kernel has no vjp rule). bf16 compute_dtype casts the
+    MLP matmuls onto the bf16 MXU path with f32 raw outputs.
+    """
     fcfg = rcfg.field
+    dt = jnp.bfloat16 if rcfg.compute_dtype == "bfloat16" else jnp.float32
+    params_c = (jax.tree.map(lambda x: x.astype(dt), field_params)
+                if dt != jnp.float32 else field_params)
 
     def query_full(pts, viewdirs):
         # pts (B, S, 3); viewdirs (B, 3) broadcast over the sample axis.
-        pe = positional_encoding(pts, fcfg.multires)
-        de = positional_encoding(viewdirs, fcfg.multires_views)
+        pe = positional_encoding(pts, fcfg.multires).astype(dt)
+        de = positional_encoding(viewdirs, fcfg.multires_views).astype(dt)
         de = jnp.broadcast_to(de[..., None, :], (*pts.shape[:-1], de.shape[-1]))
-        return apply_field(
-            field_params, pe, de, fcfg,
+        raw = apply_field(
+            params_c, pe, de, fcfg,
             freeze_radiance=rcfg.freeze_radiance,
             freeze_roughness=rcfg.freeze_roughness,
         )
+        return raw.astype(jnp.float32)
 
     def query_sigma(pts):
-        pe = positional_encoding(pts, fcfg.multires)
-        return apply_field_density(field_params, pe, fcfg,
-                                   freeze_radiance=rcfg.freeze_radiance)
+        pe = positional_encoding(pts, fcfg.multires).astype(dt)
+        raw = apply_field_density(params_c, pe, fcfg,
+                                  freeze_radiance=rcfg.freeze_radiance)
+        return raw.astype(jnp.float32)
 
-    return query_full, query_sigma
+    if rcfg.use_pallas:
+        from ibl_nerf_tpu.kernels.fused_field import (
+            fused_field_apply,
+            fused_field_density,
+            pack_field_weights,
+        )
+
+        packed = pack_field_weights(jax.lax.stop_gradient(field_params),
+                                    fcfg, dtype=dt)
+
+        def query_full_ng(pts, viewdirs):
+            return fused_field_apply(packed, pts, viewdirs, fcfg)
+
+        def query_sigma_ng(pts):
+            return fused_field_density(packed, pts, fcfg)
+    else:
+        query_full_ng, query_sigma_ng = query_full, query_sigma
+
+    return query_full, query_sigma, query_full_ng, query_sigma_ng
 
 
 def _radiance_f(rcfg: RenderConfig):
@@ -174,7 +204,9 @@ def _raw2outputs(key, variables, consts, rays_o, rays_d, z_vals,
     """
     fcfg = rcfg.field
     rf = _radiance_f(rcfg)
-    query_full, query_sigma = _make_queries(variables["coarse_or_fine"], rcfg)
+    (query_full, query_sigma,
+     query_full_ng, query_sigma_ng) = _make_queries(
+        variables["coarse_or_fine"], rcfg)
     k_noise, k_noise_refl = jax.random.split(key)
 
     gt = gt_values or {}
@@ -280,8 +312,8 @@ def _raw2outputs(key, variables, consts, rays_o, rays_d, z_vals,
 
     if rcfg.approximate_radiance:
         target_normal_map = _estimate_normal(
-            query_sigma, rays_o, rays_d, z_vals, pts, x_surface, weights_det,
-            inferred_normal_map, gt, rcfg)
+            query_sigma, query_sigma_ng, rays_o, rays_d, z_vals, pts,
+            x_surface, weights_det, inferred_normal_map, gt, rcfg)
 
         # edit/insert overrides of intrinsics before shading (:377-410)
         if edit is not None:
@@ -319,16 +351,16 @@ def _raw2outputs(key, variables, consts, rays_o, rays_d, z_vals,
                          + reflected_dirs[..., None, :]
                          * z_vals_constant[..., :, None])
 
-        def reflected_march():
-            r_raw = query_full(reflected_pts, reflected_dirs)
-            return _composite_radiance_stack(r_raw, z_vals_constant,
-                                             reflected_dirs, rcfg)
-
         if rcfg.use_gradient_for_incident_radiance:
-            reflected_radiance_map, reflected_coarse_maps = reflected_march()
+            r_raw = query_full(reflected_pts, reflected_dirs)
+            reflected_radiance_map, reflected_coarse_maps = (
+                _composite_radiance_stack(r_raw, z_vals_constant,
+                                          reflected_dirs, rcfg))
         else:
+            r_raw = query_full_ng(stop(reflected_pts), stop(reflected_dirs))
             reflected_radiance_map, reflected_coarse_maps = jax.tree.map(
-                stop, reflected_march())
+                stop, _composite_radiance_stack(r_raw, z_vals_constant,
+                                                reflected_dirs, rcfg))
 
         prefiltered = jnp.stack(
             [reflected_radiance_map] + list(reflected_coarse_maps), axis=1)
@@ -391,13 +423,15 @@ def _raw2outputs(key, variables, consts, rays_o, rays_d, z_vals,
     return {k: v for k, v in results.items() if v is not None}
 
 
-def _estimate_normal(query_sigma, rays_o, rays_d, z_vals, pts, x_surface,
-                     weights_det, inferred_normal_map, gt,
+def _estimate_normal(query_sigma, query_sigma_ng, rays_o, rays_d, z_vals,
+                     pts, x_surface, weights_det, inferred_normal_map, gt,
                      rcfg: RenderConfig):
     """Select + compute the shading normal (parity: :348-375).
 
     All estimator outputs are detached (the reference detaches every
-    live variant)."""
+    live variant). The ε finite-difference variants run through the
+    no-grad query (Pallas-eligible); the autograd variants need the
+    differentiable query for their forward-mode JVPs."""
     nt = rcfg.normal_type
     if nt == "ground_truth":
         n = gt["normal"]
@@ -407,10 +441,12 @@ def _estimate_normal(query_sigma, rays_o, rays_d, z_vals, pts, x_surface,
         return inferred_normal_map
     if nt == "normal_map_from_depth_gradient_epsilon":
         return stop(normals_mod.normal_from_depth_gradient_epsilon(
-            query_sigma, rays_o, rays_d, z_vals, rcfg.epsilon))
+            query_sigma_ng, stop(rays_o), stop(rays_d), stop(z_vals),
+            rcfg.epsilon))
     if nt == "normal_map_from_depth_gradient_direction_epsilon":
         return stop(normals_mod.normal_from_depth_gradient_direction_epsilon(
-            query_sigma, rays_o, rays_d, z_vals, rcfg.epsilon_direction))
+            query_sigma_ng, stop(rays_o), stop(rays_d), stop(z_vals),
+            rcfg.epsilon_direction))
     if nt == "normal_map_from_depth_gradient":
         return stop(normals_mod.normal_from_depth_gradient(
             query_sigma, rays_o, rays_d, z_vals))
@@ -503,7 +539,7 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
     coarse_vars["coarse_or_fine"] = variables["coarse"]
 
     if is_depth_only:
-        _, query_sigma = _make_queries(variables["coarse"], rcfg)
+        _, query_sigma, _, _ = _make_queries(variables["coarse"], rcfg)
         result = _render_depth_only(k_coarse, query_sigma, rays_o, rays_d,
                                     z_vals, rcfg)
     else:
@@ -523,7 +559,8 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
         fine_vars["coarse_or_fine"] = variables.get("fine", variables["coarse"])
 
         if is_depth_only:
-            _, query_sigma_f = _make_queries(fine_vars["coarse_or_fine"], rcfg)
+            _, query_sigma_f, _, _ = _make_queries(
+                fine_vars["coarse_or_fine"], rcfg)
             result_fine = _render_depth_only(k_fine, query_sigma_f, rays_o,
                                              rays_d, z_all, rcfg)
         else:

@@ -54,6 +54,36 @@ class TestFusedField:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
 
+    def test_renderer_with_pallas_path(self, setup):
+        """Full renderer with use_pallas routes the no-grad sweeps
+        (ε-normals + reflected march) through the kernel — outputs match
+        the pure-XLA renderer."""
+        from ibl_nerf_tpu.render import RenderConfig, render_rays, make_ray_batch
+
+        params, _, _, _ = setup
+        small = FieldConfig(depth=8, width=256, coarse_radiance_number=3)
+        rng = np.random.default_rng(5)
+        ro = jnp.asarray(rng.uniform(-1, 1, (6, 3)).astype(np.float32))
+        rd = rng.standard_normal((6, 3)).astype(np.float32)
+        rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+        batch = make_ray_batch(ro, rd, 2.0, 6.0)
+        variables = {"coarse": params, "fine": params}
+        consts = {"brdf_lut": jnp.full((8, 8, 3), 0.4, jnp.float32)}
+
+        outs = {}
+        for use_pallas in (False, True):
+            rcfg = RenderConfig(
+                field=small, n_samples=8, n_importance=8, perturb=False,
+                approximate_radiance=True,
+                normal_type="normal_map_from_depth_gradient_epsilon",
+                use_pallas=use_pallas)
+            outs[use_pallas] = render_rays(
+                jax.random.key(0), variables, consts, batch, rcfg)
+        for k in ("color_map", "target_normal_map", "reflected_radiance_map"):
+            np.testing.assert_allclose(
+                np.asarray(outs[True][k]), np.asarray(outs[False][k]),
+                atol=1e-4, rtol=1e-3, err_msg=k)
+
     def test_nondivisible_point_count(self, setup):
         """Point counts not divisible by TILE are zero-padded."""
         params, packed, _, dirs = setup
