@@ -139,6 +139,10 @@ def init_variables(key, args, fcfg: FieldConfig) -> dict:
     if args.infer_irradiance_separate:
         variables["irradiance_mlp"] = init_position_mlp(
             next(keys), args.netdepth, args.netwidth, in_ch, 1)
+    if args.use_environment_map:
+        from ibl_nerf_tpu.models.envmap import init_envmap
+
+        variables["env_map"] = init_envmap(next(keys), args.N_envmap_size)
     return variables
 
 
@@ -193,8 +197,9 @@ def train(args):
     variables = init_variables(jax.random.key(0), args, fcfg)
     consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
 
-    optimizer = build_optimizer(variables, lrate=args.lrate,
-                                lrate_decay=args.lrate_decay, lcfg=lcfg)
+    optimizer = build_optimizer(
+        variables, lrate=args.lrate, lrate_decay=args.lrate_decay, lcfg=lcfg,
+        group_lr_overrides={"env_map": args.lrate_env_map})
     state = init_train_state(variables, optimizer)
     elapsed_time = 0.0
     if not args.no_reload:

@@ -62,9 +62,14 @@ def _group_schedule(lrate: float, decay_steps: float, start: int):
 
 
 def build_optimizer(variables: dict, lrate: float = 5e-4,
-                    lrate_decay: int = 250, lcfg: LossConfig | None = None):
-    """Named-group Adam with per-group exponential schedules."""
+                    lrate_decay: int = 250, lcfg: LossConfig | None = None,
+                    group_lr_overrides: dict[str, float] | None = None):
+    """Named-group Adam with per-group exponential schedules.
+
+    group_lr_overrides: per-group base LR (e.g. env_map's lrate_env_map,
+    parity ibl_nerf.py:334)."""
     decay_steps = lrate_decay * 1000.0
+    overrides = group_lr_overrides or {}
 
     transforms = {}
     for name in variables:
@@ -73,9 +78,10 @@ def build_optimizer(variables: dict, lrate: float = 5e-4,
             start = getattr(lcfg, start_spec) if lcfg is not None else 0
         else:
             start = start_spec
+        lr0 = overrides.get(name, lrate)
         transforms[name] = optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.scale_by_schedule(_group_schedule(lrate, decay_steps, start)),
+            optax.scale_by_schedule(_group_schedule(lr0, decay_steps, start)),
             optax.scale(-1.0),
         )
 

@@ -1,0 +1,169 @@
+"""Tests for auxiliary subsystems: preprocessing, env map, mesh
+extraction, video export, native loader, visualization, compare sweeps."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+from make_synthetic_scene import make_scene  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    return make_scene(str(tmp_path_factory.mktemp("scene_aux")))
+
+
+class TestPreprocess:
+    def test_min_max_depth(self, scene_dir):
+        from ibl_nerf_tpu.cli.preprocess import compute_min_max_depth
+
+        mm = compute_min_max_depth(scene_dir)
+        assert 2.0 < mm["min_depth"] < 3.0
+        assert 3.0 < mm["max_depth"] < 4.0
+
+    def test_avg_irradiance(self, scene_dir):
+        from ibl_nerf_tpu.cli.preprocess import compute_avg_irradiance
+
+        avg = compute_avg_irradiance(scene_dir, ("bell",))
+        assert abs(avg["mean_bell"] - 0.6) < 0.02
+
+    def test_cli(self, scene_dir):
+        from ibl_nerf_tpu.cli.preprocess import main
+
+        main(["--datadir", scene_dir])
+        assert os.path.exists(os.path.join(scene_dir, "min_max_depth.json"))
+        data = json.load(open(os.path.join(scene_dir, "avg_irradiance.json")))
+        assert "mean_bell" in data
+
+
+class TestEnvmap:
+    def test_shapes_and_lookup(self):
+        from ibl_nerf_tpu.models.envmap import init_envmap, sample_envmap
+
+        p = init_envmap(jax.random.key(0), n=8)
+        assert p["emission"].shape == (16, 8, 3)
+        dirs = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                            [0.0, 1.0, 0.0]])
+        out = sample_envmap(p, dirs)
+        assert out.shape == (3, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_differentiable(self):
+        from ibl_nerf_tpu.models.envmap import init_envmap, sample_envmap
+
+        p = init_envmap(jax.random.key(0), n=4)
+        d = jnp.asarray([[0.3, 0.4, 0.87]])
+        g = jax.grad(lambda pp: jnp.sum(sample_envmap(pp, d)))(p)
+        assert float(jnp.sum(jnp.abs(g["emission"]))) > 0
+
+
+class TestMeshExtraction:
+    def test_marching_tetrahedra_sphere(self):
+        from ibl_nerf_tpu.utils.mesh_extract import (
+            marching_tetrahedra, export_obj)
+
+        n = 24
+        t = np.linspace(-1.5, 1.5, n, dtype=np.float32)
+        g = np.stack(np.meshgrid(t, t, t, indexing="ij"), -1)
+        values = 100.0 * (1.0 - np.linalg.norm(g, axis=-1))  # sphere r=1
+        verts, faces = marching_tetrahedra(values, iso=0.0,
+                                           origin=(-1.5, -1.5, -1.5),
+                                           spacing=3.0 / (n - 1))
+        assert len(verts) > 100 and len(faces) > 100
+        radii = np.linalg.norm(verts, axis=-1)
+        np.testing.assert_allclose(radii.mean(), 1.0, atol=0.05)
+
+    def test_export_obj(self, tmp_path):
+        from ibl_nerf_tpu.utils.mesh_extract import export_obj
+
+        path = export_obj(str(tmp_path / "m.obj"),
+                          np.zeros((3, 3), np.float32),
+                          np.array([[0, 1, 2]], np.int32))
+        lines = open(path).read().splitlines()
+        assert lines[0].startswith("v ") and lines[-1] == "f 1 2 3"
+
+    def test_density_grid_query(self):
+        from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
+        from ibl_nerf_tpu.utils.mesh_extract import query_density_grid
+
+        cfg = FieldConfig(depth=2, width=16, skips=())
+        params = init_field_params(jax.random.key(0), cfg)
+        g = query_density_grid(params, cfg, n=8, radius=1.0)
+        assert g.shape == (8, 8, 8) and np.isfinite(g).all()
+
+
+class TestVideo:
+    def test_stack_export(self, tmp_path):
+        from ibl_nerf_tpu.utils.video import export_stack_as_video
+
+        stack = np.random.default_rng(0).uniform(0, 1, (5, 32, 48, 3))
+        out = export_stack_as_video(stack.astype(np.float32),
+                                    str(tmp_path / "v.avi"), fps=5)
+        assert os.path.getsize(out) > 1000
+
+
+class TestNativeLoader:
+    def test_decode_matches_cv2(self, scene_dir):
+        import cv2
+        from ibl_nerf_tpu.data.native_loader import (
+            batch_load_png_rgb, native_available)
+
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        paths = [os.path.join(scene_dir, "train", f"{i}.png")
+                 for i in (1, 2, 3)]
+        out = batch_load_png_rgb(paths, 40, 52)
+        ref = np.stack([
+            cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB).astype(np.float32)
+            / 255.0 for p in paths])
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestCompare:
+    def test_time_calculator(self, tmp_path):
+        from ibl_nerf_tpu.eval.compare import time_calculator
+
+        d = tmp_path / "exp1"
+        d.mkdir()
+        json.dump({"training_time": 100.0, "global_step": 50},
+                  open(d / "train_info_step_time.json", "w"))
+        df = time_calculator([str(d)])
+        assert abs(df.iloc[0]["time_per_step"] - 2.0) < 1e-9
+
+    def test_pprint_latex(self):
+        import pandas as pd
+        from ibl_nerf_tpu.eval.compare import pprint_latex
+
+        df = pd.DataFrame([
+            {"scene": "kitchen", "experiment": "ours", "target": "image",
+             "psnr": 30.1, "ssim": 0.9, "mse": 0.001},
+            {"scene": "bathroom", "experiment": "ours", "target": "image",
+             "psnr": 28.2, "ssim": 0.8, "mse": 0.002},
+        ])
+        tex = pprint_latex(df, "psnr")
+        assert "ours &" in tex and "\\\\" in tex
+
+
+class TestVisualize:
+    def test_comparison_grid(self, tmp_path):
+        import cv2
+        from ibl_nerf_tpu.eval.visualize import comparison_grid, crop_zoom
+
+        d = tmp_path / "res"
+        d.mkdir()
+        img = (np.random.default_rng(0).uniform(0, 1, (24, 32, 3)) * 255
+               ).astype(np.uint8)
+        cv2.imwrite(str(d / "rgb_000.png"), img)
+        cv2.imwrite(str(d / "albedo_000.png"), img)
+        out = comparison_grid({"ours": str(d)}, ["rgb", "albedo"], 0,
+                              str(tmp_path / "grid.pdf"))
+        assert os.path.getsize(out) > 500
+        cz = crop_zoom(str(d / "rgb_000.png"), (2, 2, 8, 8),
+                       str(tmp_path / "crop.png"))
+        assert os.path.exists(cz)
