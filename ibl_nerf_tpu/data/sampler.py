@@ -51,16 +51,24 @@ def sample_pixel_batch(
     precrop: bool = False,
     precrop_frac: float = 0.5,
     patch: bool = False,
+    merged: bool = False,
 ):
     """Draw one training batch: a random image, `batch_size` random
     pixels (optionally center-cropped), their rays + per-pixel gt dict.
+
+    merged=True samples the image index *per ray* — the working
+    TPU-native version of the reference's dead `use_batching` path
+    (all-image merged sampling, generator_utils.py:23-38).
 
     Returns (pixel_info, rays_o, rays_d, neigh_info, rays_o_n, rays_d_n)
     mirroring sample_generator_single_image's contract.
     """
     k_img, k_u, k_v = jax.random.split(key, 3)
     n_images = arrays["images"].shape[0]
-    img_idx = jax.random.randint(k_img, (), 0, n_images)
+    if merged:
+        img_idx = jax.random.randint(k_img, (batch_size,), 0, n_images)
+    else:
+        img_idx = jax.random.randint(k_img, (), 0, n_images)
 
     if precrop:
         dH = int(H // 2 * precrop_frac)
@@ -94,7 +102,17 @@ def sample_pixel_batch(
 
     pose = arrays["poses"][img_idx]
     uv = jnp.stack([u, v], axis=1).astype(jnp.float32)
-    rays_o, rays_d = get_rays_for_pixels(uv, arrays["K"], pose[:3, :4])
+    if merged:
+        # per-ray camera-to-world: rotate each ray by its own pose
+        K = arrays["K"]
+        dirs = jnp.stack(
+            [(uv[:, 0] - K[0][2]) / K[0][0],
+             -(uv[:, 1] - K[1][2]) / K[1][1],
+             -jnp.ones_like(uv[:, 0])], axis=-1)
+        rays_d = jnp.einsum("bc,brc->br", dirs, pose[:, :3, :3])
+        rays_o = pose[:, :3, 3]
+    else:
+        rays_o, rays_d = get_rays_for_pixels(uv, arrays["K"], pose[:3, :4])
 
     neigh_info = {}
     rays_o_n = rays_d_n = None

@@ -243,14 +243,21 @@ def train(args):
         path = ckpt_lib.save_checkpoint(logdir, i, state, elapsed_time)
         logger.info("saved checkpoint %s", path)
 
-    def run_testset(i):
+    def run_testset(i, export_video=False):
         from ibl_nerf_tpu.eval.render_path import render_path
 
         testdir = os.path.join(logdir, f"testset_{i:06d}")
         rcfg_test = rcfg.replace(approximate_radiance=True)
-        render_path(state.variables, consts, scene_val, rcfg_test,
-                    savedir=testdir, render_factor=args.render_factor)
+        results = render_path(state.variables, consts, scene_val, rcfg_test,
+                              savedir=testdir,
+                              render_factor=args.render_factor)
         logger.info("saved test set to %s", testdir)
+        if export_video and "rgb" in results:
+            from ibl_nerf_tpu.utils.video import export_stack_as_video
+
+            path = os.path.join(logdir, f"video_{i:06d}.avi")
+            export_stack_as_video(results["rgb"], path)
+            logger.info("saved video %s", path)
 
     stop_training = False
     global_step = start
@@ -264,7 +271,8 @@ def train(args):
             scene.height, scene.width, args.N_rand,
             prior_irradiance_mean=scene.prior_irradiance_mean,
             near=scene.near, far=scene.far,
-            precrop=precrop, precrop_frac=args.precrop_frac)
+            precrop=precrop, precrop_frac=args.precrop_frac,
+            merged_sampling=not args.no_batching)
         logger.info("phase segment [%d, %d): %s", seg_start, seg_end, phase)
 
         for i in range(seg_start, seg_end):
@@ -292,7 +300,7 @@ def train(args):
             if i % args.i_weights == 0 and i > 0:
                 save_ckpt(i)
             if i % args.i_testset == 0 and i > 0:
-                run_testset(i)
+                run_testset(i, export_video=(i % args.i_video == 0))
 
     with open(os.path.join(logdir, "train_info_step_time.json"), "w") as f:
         json.dump({"training_time": elapsed_time,

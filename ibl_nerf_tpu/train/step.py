@@ -111,6 +111,7 @@ def make_train_step(
     far: float,
     precrop: bool = False,
     precrop_frac: float = 0.5,
+    merged_sampling: bool = False,
     donate: bool = True,
 ):
     """Build the jitted train step for one phase.
@@ -128,7 +129,8 @@ def make_train_step(
         k_sample, k_render = jax.random.split(key)
         pixel_info, rays_o, rays_d, _, _, _ = sample_pixel_batch(
             k_sample, arrays, batch_size, H, W,
-            precrop=precrop, precrop_frac=precrop_frac)
+            precrop=precrop, precrop_frac=precrop_frac,
+            merged=merged_sampling)
         batch = make_ray_batch(rays_o, rays_d, near, far)
         gt_values = pixel_info
         result = render_rays(k_render, variables, consts, batch, rcfg_phase,

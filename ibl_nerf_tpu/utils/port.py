@@ -62,7 +62,8 @@ def position_direction_mlp_params_from_torch_state(sd: dict, depth: int = 8):
     }
 
 
-def load_reference_checkpoint(path: str, coarse_radiance_number: int = 3):
+def load_reference_checkpoint(path: str, coarse_radiance_number: int = 3,
+                              depth: int = 8):
     """Read a reference .tar checkpoint into (coarse, fine, step, elapsed).
 
     Requires torch; returns jnp pytrees.
@@ -75,9 +76,10 @@ def load_reference_checkpoint(path: str, coarse_radiance_number: int = 3):
         return {k: v.detach().cpu().numpy() for k, v in sd.items()}
 
     coarse = field_params_from_torch_state(
-        np_sd(ckpt["network_fn_state_dict"]), coarse_radiance_number)
+        np_sd(ckpt["network_fn_state_dict"]), coarse_radiance_number, depth)
     fine = None
     if "network_fine_state_dict" in ckpt and ckpt["network_fine_state_dict"]:
         fine = field_params_from_torch_state(
-            np_sd(ckpt["network_fine_state_dict"]), coarse_radiance_number)
+            np_sd(ckpt["network_fine_state_dict"]), coarse_radiance_number,
+            depth)
     return coarse, fine, ckpt.get("global_step", 0), ckpt.get("elapsed_time", 0.0)

@@ -125,6 +125,85 @@ class TestNativeLoader:
         np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+class TestPortCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import torch
+
+        sys.path.insert(0, "/root/reference/src")
+        from nerf_models.ibl_nerf import IBLNeRF
+
+        torch.manual_seed(0)
+        m_c = IBLNeRF(D=2, W=16, input_ch=63, input_ch_views=27, skips=[],
+                      coarse_radiance_number=1)
+        m_f = IBLNeRF(D=2, W=16, input_ch=63, input_ch_views=27, skips=[],
+                      coarse_radiance_number=1)
+        tar = tmp_path / "000050.tar"
+        torch.save({"global_step": 50,
+                    "network_fn_state_dict": m_c.state_dict(),
+                    "network_fine_state_dict": m_f.state_dict(),
+                    "elapsed_time": 12.5}, tar)
+
+        from ibl_nerf_tpu.cli.port_checkpoint import main
+
+        out = tmp_path / "ported"
+        main(["--tar", str(tar), "--out", str(out),
+              "--coarse_radiance_number", "1", "--netdepth", "2"])
+
+        from ibl_nerf_tpu.train.checkpoint import (
+            list_checkpoints, restore_checkpoint)
+        from ibl_nerf_tpu.train.step import build_optimizer, init_train_state
+        from ibl_nerf_tpu.utils.port import field_params_from_torch_state
+
+        assert list_checkpoints(str(out))[0][0] == 50
+        np_sd = {k: v.numpy() for k, v in m_c.state_dict().items()}
+        template_vars = {
+            "coarse": field_params_from_torch_state(np_sd, 1, 2),
+            "fine": field_params_from_torch_state(np_sd, 1, 2),
+        }
+        opt = build_optimizer(template_vars)
+        state = init_train_state(template_vars, opt)
+        state, elapsed, found = restore_checkpoint(str(out), state)
+        assert found and int(state.step) == 50 and abs(elapsed - 12.5) < 1e-6
+        np.testing.assert_allclose(
+            np.asarray(state.variables["coarse"]["sigma"]["w"]),
+            np_sd["sigma_linear.weight"].T, atol=1e-7)
+
+
+class TestMergedSampling:
+    def test_per_ray_images(self):
+        from ibl_nerf_tpu.data.sampler import sample_pixel_batch
+
+        rng = np.random.default_rng(0)
+        n_img, h, w = 4, 8, 8
+        images = rng.uniform(0, 1, (n_img, h, w, 3)).astype(np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * n_img)
+        poses[:, 0, 3] = np.arange(n_img)  # distinct origins per image
+        arrays = {
+            "images": jnp.asarray(images),
+            "poses": jnp.asarray(poses),
+            "K": jnp.asarray(np.array(
+                [[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]], np.float32)),
+        }
+        info, ro, rd, _, _, _ = sample_pixel_batch(
+            jax.random.key(0), arrays, 64, h, w, merged=True)
+        assert info["rgb"].shape == (64, 3)
+        # rays from multiple distinct cameras
+        assert len(np.unique(np.asarray(ro)[:, 0])) > 1
+
+    def test_single_image_mode_unchanged(self):
+        from ibl_nerf_tpu.data.sampler import sample_pixel_batch
+
+        arrays = {
+            "images": jnp.zeros((2, 8, 8, 3)),
+            "poses": jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2)),
+            "K": jnp.asarray(np.array(
+                [[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]], np.float32)),
+        }
+        info, ro, rd, _, _, _ = sample_pixel_batch(
+            jax.random.key(0), arrays, 16, 8, 8, merged=False)
+        assert np.allclose(np.asarray(ro), np.asarray(ro)[0])  # one camera
+
+
 class TestCompare:
     def test_time_calculator(self, tmp_path):
         from ibl_nerf_tpu.eval.compare import time_calculator
