@@ -68,7 +68,7 @@ def render_path(
     rcfg,
     savedir: str | None = None,
     render_factor: int = 1,
-    chunk: int = 4096,
+    chunk: int = 2048,
     poses=None,
 ):
     """Render all poses of `scene`; returns {name: (N, H, W, C?) stack}.

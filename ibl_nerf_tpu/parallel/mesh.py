@@ -105,3 +105,27 @@ def make_sharded_train_step(
         return jax.device_put(arrays, repl)
 
     return train_step, place_state, place_arrays
+
+
+def make_sharded_render_fn(mesh: Mesh, variables, consts, rcfg):
+    """Jitted chunk renderer with rays sharded over the mesh — full-image
+    evaluation fans out across all chips (pass to
+    render_image/render_path via `render_fn`; use chunk = per-chip-chunk
+    * mesh size). All per-ray work stays chip-local; outputs gather on
+    host at image assembly, the only cross-chip data motion.
+    """
+    rays_sh = shard_rays(mesh)
+    repl = replicate(mesh)
+    variables = jax.device_put(variables, repl)
+    consts = jax.device_put(consts, repl)
+
+    @jax.jit
+    def render_fn(key, batch, gt):
+        batch = {k: jax.lax.with_sharding_constraint(v, rays_sh)
+                 for k, v in batch.items()}
+        if gt is not None:
+            gt = {k: jax.lax.with_sharding_constraint(v, rays_sh)
+                  for k, v in gt.items()}
+        return render_rays(key, variables, consts, batch, rcfg, gt_values=gt)
+
+    return render_fn

@@ -588,7 +588,7 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
 # ---------------------------------------------------------------------------
 
 def render_image(key, variables, consts, H, W, K, c2w, near, far,
-                 rcfg: RenderConfig, gt_values=None, chunk: int = 4096,
+                 rcfg: RenderConfig, gt_values=None, chunk: int = 2048,
                  render_fn=None):
     """Render a full image by mapping a jitted chunk renderer over rows of
     rays. gt_values entries must be flattened (H*W, C).

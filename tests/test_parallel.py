@@ -100,6 +100,31 @@ class TestShardedStep:
             losses.append(float(scal["loss_total"]))
         assert all(np.isfinite(losses))
 
+    def test_sharded_full_image_render(self):
+        """Sharded eval renderer matches the single-device renderer."""
+        from ibl_nerf_tpu.parallel.mesh import make_sharded_render_fn
+        from ibl_nerf_tpu.render.renderer import render_image
+
+        mesh = make_mesh(jax.devices()[:8])
+        variables = {"coarse": init_field_params(jax.random.key(0), FCFG),
+                     "fine": init_field_params(jax.random.key(1), FCFG)}
+        rcfg = RCFG.replace(perturb=False)
+        render_fn = make_sharded_render_fn(mesh, variables, CONSTS, rcfg)
+
+        K = jnp.asarray(np.array(
+            [[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]], np.float32))
+        c2w = jnp.eye(4)[:3]
+        out_sharded = render_image(
+            jax.random.key(0), variables, CONSTS, 16, 16, K, c2w, 2.0, 6.0,
+            rcfg, chunk=64, render_fn=render_fn)
+        out_single = render_image(
+            jax.random.key(0), variables, CONSTS, 16, 16, K, c2w, 2.0, 6.0,
+            rcfg, chunk=64)
+        np.testing.assert_allclose(
+            np.asarray(out_sharded["radiance_map"]),
+            np.asarray(out_single["radiance_map"]), atol=1e-4)
+        assert out_sharded["radiance_map"].shape == (16, 16, 3)
+
     def test_ray_sharding_applied(self):
         """The compiled step's ray tensors are actually sharded over the
         mesh (not silently replicated): check the lowered HLO contains
