@@ -262,6 +262,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="float32 | bfloat16 (MXU fast path)")
     add("--mesh_devices", type=int, default=0,
         help="0 = all local devices; N = first N")
+    add("--debug_nans", action="store_true",
+        help="enable jax_debug_nans (TPU-native analogue of the "
+             "reference's autograd anomaly mode + NaN output scans)")
     return p
 
 

@@ -69,14 +69,18 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
 
 
 def batch_metrics(preds: np.ndarray, gts: np.ndarray) -> dict:
-    """Mean SSIM/PSNR/MSE over a stack of images (N, H, W, C)."""
+    """Mean SSIM/PSNR/MSE over a stack of images (N, H, W, C).
+
+    Inputs are clipped to [0, 1] — the reference protocol compares
+    exported 8-bit PNGs (already clipped); unclipped HDR values break
+    the SSIM variance estimates (values > 1)."""
     ssim_j = jax.jit(ssim)
     psnr_j = jax.jit(psnr)
     mse_j = jax.jit(mse)
     s, p, m = [], [], []
     for i in range(preds.shape[0]):
-        a = jnp.asarray(preds[i])
-        b = jnp.asarray(gts[i])
+        a = jnp.clip(jnp.asarray(preds[i]), 0.0, 1.0)
+        b = jnp.clip(jnp.asarray(gts[i]), 0.0, 1.0)
         s.append(float(ssim_j(a, b)))
         p.append(float(psnr_j(a, b)))
         m.append(float(mse_j(a, b)))

@@ -160,6 +160,9 @@ def _load_params(args):
 
 def train(args):
     logger = load_logger("train")
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+        logger.info("jax_debug_nans enabled")
 
     # (1) data
     t0 = time.time()

@@ -22,7 +22,7 @@ import numpy as np
 
 
 def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
-         logdir="/tmp/convergence_logs"):
+         logdir="/tmp/convergence_logs", compute_dtype="float32"):
     from analytic_scene import make_analytic_scene
     from ibl_nerf_tpu.cli.config import parse_with_includes
     from ibl_nerf_tpu.train.loop import train
@@ -50,6 +50,7 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
         "--lrate", "5e-4", "--lrate_decay", "50",
         "--use_viewdirs",
         "--testskip", "1",
+        "--compute_dtype", compute_dtype,
     ])
 
     t0 = time.time()
@@ -88,4 +89,5 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    main(n)
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    main(n, logdir=f"/tmp/convergence_logs_{dtype}", compute_dtype=dtype)
