@@ -65,31 +65,47 @@ def _make_queries(field_params, rcfg: RenderConfig):
     Returns (query_full, query_sigma, query_full_ng, query_sigma_ng).
     The `_ng` (no-gradient) variants may route through the Pallas
     fused-field kernel (rcfg.use_pallas) — legal only on stop_gradient
-    paths (the kernel has no vjp rule). bf16 compute_dtype casts the
-    MLP matmuls onto the bf16 MXU path with f32 raw outputs.
+    paths (the kernel has no vjp rule).
+
+    compute_dtype:
+      "float32"  — everything f32;
+      "bfloat16" — all MLP matmuls on the bf16 MXU path (f32 raw out);
+      "mixed"    — gradient path f32, no-grad sweeps (ε-normals +
+                   reflected march, ~60% of FLOPs) bf16: throughput
+                   without touching gradient precision.
     """
     fcfg = rcfg.field
-    dt = jnp.bfloat16 if rcfg.compute_dtype == "bfloat16" else jnp.float32
-    params_c = (jax.tree.map(lambda x: x.astype(dt), field_params)
-                if dt != jnp.float32 else field_params)
+    dt_grad = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
+               else jnp.float32)
+    dt_ng = (jnp.bfloat16 if rcfg.compute_dtype in ("bfloat16", "mixed")
+             else jnp.float32)
 
-    def query_full(pts, viewdirs):
-        # pts (B, S, 3); viewdirs (B, 3) broadcast over the sample axis.
-        pe = positional_encoding(pts, fcfg.multires).astype(dt)
-        de = positional_encoding(viewdirs, fcfg.multires_views).astype(dt)
-        de = jnp.broadcast_to(de[..., None, :], (*pts.shape[:-1], de.shape[-1]))
-        raw = apply_field(
-            params_c, pe, de, fcfg,
-            freeze_radiance=rcfg.freeze_radiance,
-            freeze_roughness=rcfg.freeze_roughness,
-        )
-        return raw.astype(jnp.float32)
+    def make_pair(dt):
+        params_c = (jax.tree.map(lambda x: x.astype(dt), field_params)
+                    if dt != jnp.float32 else field_params)
 
-    def query_sigma(pts):
-        pe = positional_encoding(pts, fcfg.multires).astype(dt)
-        raw = apply_field_density(params_c, pe, fcfg,
-                                  freeze_radiance=rcfg.freeze_radiance)
-        return raw.astype(jnp.float32)
+        def query_full(pts, viewdirs):
+            # pts (B, S, 3); viewdirs (B, 3) broadcast over samples.
+            pe = positional_encoding(pts, fcfg.multires).astype(dt)
+            de = positional_encoding(viewdirs, fcfg.multires_views).astype(dt)
+            de = jnp.broadcast_to(de[..., None, :],
+                                  (*pts.shape[:-1], de.shape[-1]))
+            raw = apply_field(
+                params_c, pe, de, fcfg,
+                freeze_radiance=rcfg.freeze_radiance,
+                freeze_roughness=rcfg.freeze_roughness,
+            )
+            return raw.astype(jnp.float32)
+
+        def query_sigma(pts):
+            pe = positional_encoding(pts, fcfg.multires).astype(dt)
+            raw = apply_field_density(params_c, pe, fcfg,
+                                      freeze_radiance=rcfg.freeze_radiance)
+            return raw.astype(jnp.float32)
+
+        return query_full, query_sigma
+
+    query_full, query_sigma = make_pair(dt_grad)
 
     if rcfg.use_pallas:
         from ibl_nerf_tpu.kernels.fused_field import (
@@ -99,17 +115,44 @@ def _make_queries(field_params, rcfg: RenderConfig):
         )
 
         packed = pack_field_weights(jax.lax.stop_gradient(field_params),
-                                    fcfg, dtype=dt)
+                                    fcfg, dtype=dt_ng)
 
         def query_full_ng(pts, viewdirs):
             return fused_field_apply(packed, pts, viewdirs, fcfg)
 
         def query_sigma_ng(pts):
             return fused_field_density(packed, pts, fcfg)
+    elif dt_ng != dt_grad:
+        query_full_ng, query_sigma_ng = make_pair_ng(
+            jax.lax.stop_gradient(field_params), rcfg, dt_ng)
     else:
         query_full_ng, query_sigma_ng = query_full, query_sigma
 
     return query_full, query_sigma, query_full_ng, query_sigma_ng
+
+
+def make_pair_ng(field_params, rcfg, dt):
+    """bf16 no-grad query pair over stop_gradient'ed params."""
+    fcfg = rcfg.field
+    params_c = jax.tree.map(lambda x: x.astype(dt), field_params)
+
+    def query_full_ng(pts, viewdirs):
+        pe = positional_encoding(pts, fcfg.multires).astype(dt)
+        de = positional_encoding(viewdirs, fcfg.multires_views).astype(dt)
+        de = jnp.broadcast_to(de[..., None, :],
+                              (*pts.shape[:-1], de.shape[-1]))
+        raw = apply_field(params_c, pe, de, fcfg,
+                          freeze_radiance=rcfg.freeze_radiance,
+                          freeze_roughness=rcfg.freeze_roughness)
+        return raw.astype(jnp.float32)
+
+    def query_sigma_ng(pts):
+        pe = positional_encoding(pts, fcfg.multires).astype(dt)
+        raw = apply_field_density(params_c, pe, fcfg,
+                                  freeze_radiance=rcfg.freeze_radiance)
+        return raw.astype(jnp.float32)
+
+    return query_full_ng, query_sigma_ng
 
 
 def _radiance_f(rcfg: RenderConfig):
@@ -413,6 +456,12 @@ def _raw2outputs(key, variables, consts, rays_o, rays_d, z_vals,
 
     results["inferred_normal_map"] = inferred_normal_map
     results["target_normal_map"] = target_normal_map
+    # Alias the estimator's own key so infer_normal_target losses can
+    # reference it (the reference would KeyError here — train.py:314
+    # looks up e.g. result["normal_map_from_depth_gradient_epsilon"]
+    # which its raw2outputs never stores; documented fix).
+    if target_normal_map is not None and rcfg.normal_type.startswith("normal_map"):
+        results[rcfg.normal_type] = target_normal_map
 
     results["disp_map"] = disp_map
     results["acc_map"] = acc_map

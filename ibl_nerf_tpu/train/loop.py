@@ -275,7 +275,8 @@ def train(args):
             prior_irradiance_mean=scene.prior_irradiance_mean,
             near=scene.near, far=scene.far,
             precrop=precrop, precrop_frac=args.precrop_frac,
-            merged_sampling=not args.no_batching)
+            merged_sampling=not args.no_batching,
+            n_depth_random_volume=args.N_depth_random_volume)
         logger.info("phase segment [%d, %d): %s", seg_start, seg_end, phase)
 
         for i in range(seg_start, seg_end):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 
@@ -181,7 +182,7 @@ def compute_losses(result: dict, pixel_info: dict, cfg: LossConfig,
     loss_depth = 0.0
     if phase.depth_loss_on and "inferred_depth_map" in result:
         loss_depth = _mse(result["inferred_depth_map"],
-                          jnp.asarray(result["depth_map"]))
+                          jax.lax.stop_gradient(result["depth_map"]))
         if depth_volume_result is not None:
             loss_depth = loss_depth + _mse(
                 depth_volume_result["inferred_depth_map"],

@@ -112,6 +112,7 @@ def make_train_step(
     precrop: bool = False,
     precrop_frac: float = 0.5,
     merged_sampling: bool = False,
+    n_depth_random_volume: int = 256,
     donate: bool = True,
 ):
     """Build the jitted train step for one phase.
@@ -126,7 +127,7 @@ def make_train_step(
     )
 
     def loss_fn(variables, key, arrays):
-        k_sample, k_render = jax.random.split(key)
+        k_sample, k_render, k_vol, k_vol_render = jax.random.split(key, 4)
         pixel_info, rays_o, rays_d, _, _, _ = sample_pixel_batch(
             k_sample, arrays, batch_size, H, W,
             precrop=precrop, precrop_frac=precrop_frac,
@@ -135,8 +136,34 @@ def make_train_step(
         gt_values = pixel_info
         result = render_rays(k_render, variables, consts, batch, rcfg_phase,
                              gt_values=gt_values)
+
+        # Depth distillation random-volume pass (NeRV-style; parity:
+        # train.py:347-381): rays from the detached expected surface
+        # points along random normal-aligned directions, depth-only.
+        depth_volume_result = None
+        if phase.depth_loss_on and "normal" in pixel_info:
+            normal_map = pixel_info["normal"] * 2.0 - 1.0
+            normal_map = normal_map / jnp.maximum(
+                jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12)
+            x_surface = jax.lax.stop_gradient(
+                rays_o + rays_d * result["depth_map"][..., None])
+            rand_dir = 2.0 * jax.random.uniform(k_vol, rays_d.shape) - 1.0
+            sign = jnp.sign(jnp.sum(rand_dir * normal_map, -1))[..., None]
+            rand_dir = sign * rand_dir
+            rand_dir = rand_dir / jnp.maximum(
+                jnp.linalg.norm(rand_dir, axis=-1, keepdims=True), 1e-12)
+            n_vol = min(n_depth_random_volume, batch_size)
+            vol_batch = make_ray_batch(x_surface[:n_vol], rand_dir[:n_vol],
+                                       near, far)
+            depth_volume_result = render_rays(
+                k_vol_render, variables, consts, vol_batch, rcfg_phase,
+                is_depth_only=True)
+            depth_volume_result["depth_map"] = jax.lax.stop_gradient(
+                depth_volume_result["depth_map"])
+
         total, scalars = compute_losses(
-            result, pixel_info, lcfg, phase, prior_irradiance_mean, far)
+            result, pixel_info, lcfg, phase, prior_irradiance_mean, far,
+            depth_volume_result=depth_volume_result)
         return total, scalars
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())

@@ -101,6 +101,29 @@ class TestTrainLoop:
         assert losses[-1] < losses[0] * 1.5  # smoke: finite & not exploding
         assert all(np.isfinite(l) for l in losses)
 
+    def test_infer_depth_and_normal_heads(self, scene_dir, tmp_path):
+        """Aux depth MLP (with the NeRV random-volume distillation pass)
+        and normal MLP train without error and produce scalars."""
+        from ibl_nerf_tpu.train.loop import train
+
+        args = small_args(scene_dir, str(tmp_path / "logs"),
+                          extra=["--infer_depth", "--infer_normal",
+                                 "--N_iter_ignore_depth", "6",
+                                 "--N_iter_ignore_normal", "6",
+                                 "--N_depth_random_volume", "8",
+                                 "--infer_normal_target",
+                                 "normal_map_from_depth_gradient_epsilon"])
+        args.N_iter = 8
+        state = train(args)
+        assert "depth_mlp" in state.variables
+        assert "normal_mlp" in state.variables
+        recs = [json.loads(l) for l in
+                open(os.path.join(args.basedir, "exp", "metrics.jsonl"))]
+        last = recs[-1]
+        assert np.isfinite(last["loss_depth"])
+        assert np.isfinite(last["loss_inferred_normal"])
+        assert last["loss_depth"] > 0
+
     def test_resume(self, scene_dir, tmp_path):
         from ibl_nerf_tpu.train.loop import train
 
