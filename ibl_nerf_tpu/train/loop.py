@@ -262,6 +262,20 @@ def train(args):
             export_stack_as_video(results["rgb"], path)
             logger.info("saved video %s", path)
 
+    # Multi-chip: --mesh_devices N>1 shards the ray batch over a 1-D
+    # mesh (params replicate; XLA psums grads over ICI). Explicit opt-in
+    # so single-chip/CI behavior is unchanged. The sharded step does not
+    # yet cover merged sampling or the depth-volume pass.
+    n_dev = len(jax.devices())
+    mesh_n = min(args.mesh_devices, n_dev)
+    use_mesh = mesh_n > 1 and args.N_rand % mesh_n == 0
+    mesh = None
+    if use_mesh:
+        from ibl_nerf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:mesh_n])
+        logger.info("sharding rays over %d devices", mesh_n)
+
     stop_training = False
     global_step = start
     for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
@@ -269,14 +283,26 @@ def train(args):
             continue
         phase = resolve_phase(seg_start, lcfg)
         precrop = seg_start < args.precrop_iters
-        step_fn = make_train_step(
-            rcfg, lcfg, phase, optimizer, consts,
-            scene.height, scene.width, args.N_rand,
-            prior_irradiance_mean=scene.prior_irradiance_mean,
-            near=scene.near, far=scene.far,
-            precrop=precrop, precrop_frac=args.precrop_frac,
-            merged_sampling=not args.no_batching,
-            n_depth_random_volume=args.N_depth_random_volume)
+        if use_mesh:
+            from ibl_nerf_tpu.parallel.mesh import make_sharded_train_step
+
+            step_fn, place_state, place_arrays = make_sharded_train_step(
+                rcfg, lcfg, phase, optimizer, consts,
+                scene.height, scene.width, args.N_rand,
+                prior_irradiance_mean=scene.prior_irradiance_mean,
+                near=scene.near, far=scene.far, mesh=mesh,
+                precrop=precrop, precrop_frac=args.precrop_frac)
+            state = place_state(state)
+            arrays = place_arrays(arrays)
+        else:
+            step_fn = make_train_step(
+                rcfg, lcfg, phase, optimizer, consts,
+                scene.height, scene.width, args.N_rand,
+                prior_irradiance_mean=scene.prior_irradiance_mean,
+                near=scene.near, far=scene.far,
+                precrop=precrop, precrop_frac=args.precrop_frac,
+                merged_sampling=not args.no_batching,
+                n_depth_random_volume=args.N_depth_random_volume)
         logger.info("phase segment [%d, %d): %s", seg_start, seg_end, phase)
 
         for i in range(seg_start, seg_end):

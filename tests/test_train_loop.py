@@ -124,6 +124,23 @@ class TestTrainLoop:
         assert np.isfinite(last["loss_inferred_normal"])
         assert last["loss_depth"] > 0
 
+    def test_train_driver_sharded_over_mesh(self, scene_dir, tmp_path):
+        """The training driver auto-shards the ray batch over all
+        available devices (8 virtual CPU devices in tests)."""
+        import jax
+        from ibl_nerf_tpu.train.loop import train
+
+        assert len(jax.devices()) >= 8
+        args = small_args(scene_dir, str(tmp_path / "logs"),
+                          extra=["--mesh_devices", "8"])
+        args.N_iter = 6
+        args.i_weights = 100000
+        state = train(args)
+        assert int(state.step) == 6
+        recs = [json.loads(l) for l in
+                open(os.path.join(args.basedir, "exp", "metrics.jsonl"))]
+        assert all(np.isfinite(r["loss_total"]) for r in recs)
+
     def test_resume(self, scene_dir, tmp_path):
         from ibl_nerf_tpu.train.loop import train
 
