@@ -124,6 +124,16 @@ def run_test(args):
                           savedir=savedir,
                           render_factor=args.render_factor)
     logger.info("exported %d buffers to %s", len(results), savedir)
+
+    if args.extract_mesh:
+        from ibl_nerf_tpu.utils.mesh_extract import extract_mesh
+
+        mesh_path = os.path.join(savedir, "mesh.obj")
+        extract_mesh(state.variables["fine" if "fine" in state.variables
+                                     else "coarse"],
+                     fcfg, mesh_path, n=128,
+                     radius=float(scene.far) * 0.5)
+        logger.info("extracted mesh to %s", mesh_path)
     return results
 
 

@@ -49,6 +49,7 @@ def make_sharded_train_step(
     rcfg, lcfg, phase, optimizer, consts, H, W, batch_size,
     prior_irradiance_mean, near, far, mesh: Mesh,
     precrop: bool = False, precrop_frac: float = 0.5,
+    merged_sampling: bool = False,
 ):
     """Jitted SPMD train step: batch sampled on device, rays sharded over
     the mesh, params replicated, grads psum'd by XLA.
@@ -68,10 +69,11 @@ def make_sharded_train_step(
     rays_sh = shard_rays(mesh)
 
     def loss_fn(variables, key, arrays):
-        k_sample, k_render = jax.random.split(key)
+        k_sample, k_render, k_vol, k_vol_render = jax.random.split(key, 4)
         pixel_info, rays_o, rays_d, _, _, _ = sample_pixel_batch(
             k_sample, arrays, batch_size, H, W,
-            precrop=precrop, precrop_frac=precrop_frac)
+            precrop=precrop, precrop_frac=precrop_frac,
+            merged=merged_sampling)
         # Constrain the ray batch (and gt pixels) to the rays axis; all
         # downstream per-ray tensors inherit this sharding.
         rays_o = jax.lax.with_sharding_constraint(rays_o, rays_sh)
@@ -81,8 +83,31 @@ def make_sharded_train_step(
         batch = make_ray_batch(rays_o, rays_d, near, far)
         result = render_rays(k_render, variables, consts, batch, rcfg_phase,
                              gt_values=pixel_info)
+
+        # Depth-distillation random-volume pass (chip-local: volume rays
+        # derive from local primary rays — no resharding).
+        depth_volume_result = None
+        if phase.depth_loss_on and "normal" in pixel_info:
+            normal_map = pixel_info["normal"] * 2.0 - 1.0
+            normal_map = normal_map / jnp.maximum(
+                jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12)
+            x_surface = jax.lax.stop_gradient(
+                rays_o + rays_d * result["depth_map"][..., None])
+            rand_dir = 2.0 * jax.random.uniform(k_vol, rays_d.shape) - 1.0
+            sign = jnp.sign(jnp.sum(rand_dir * normal_map, -1))[..., None]
+            rand_dir = sign * rand_dir
+            rand_dir = rand_dir / jnp.maximum(
+                jnp.linalg.norm(rand_dir, axis=-1, keepdims=True), 1e-12)
+            vol_batch = make_ray_batch(x_surface, rand_dir, near, far)
+            depth_volume_result = render_rays(
+                k_vol_render, variables, consts, vol_batch, rcfg_phase,
+                is_depth_only=True)
+            depth_volume_result["depth_map"] = jax.lax.stop_gradient(
+                depth_volume_result["depth_map"])
+
         total, scalars = compute_losses(
-            result, pixel_info, lcfg, phase, prior_irradiance_mean, far)
+            result, pixel_info, lcfg, phase, prior_irradiance_mean, far,
+            depth_volume_result=depth_volume_result)
         return total, scalars
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -264,8 +264,7 @@ def train(args):
 
     # Multi-chip: --mesh_devices N>1 shards the ray batch over a 1-D
     # mesh (params replicate; XLA psums grads over ICI). Explicit opt-in
-    # so single-chip/CI behavior is unchanged. The sharded step does not
-    # yet cover merged sampling or the depth-volume pass.
+    # so single-chip/CI behavior is unchanged.
     n_dev = len(jax.devices())
     mesh_n = min(args.mesh_devices, n_dev)
     use_mesh = mesh_n > 1 and args.N_rand % mesh_n == 0
@@ -291,7 +290,8 @@ def train(args):
                 scene.height, scene.width, args.N_rand,
                 prior_irradiance_mean=scene.prior_irradiance_mean,
                 near=scene.near, far=scene.far, mesh=mesh,
-                precrop=precrop, precrop_frac=args.precrop_frac)
+                precrop=precrop, precrop_frac=args.precrop_frac,
+                merged_sampling=not args.no_batching)
             state = place_state(state)
             arrays = place_arrays(arrays)
         else:

@@ -178,6 +178,38 @@ class TestRenderPathAndCLI:
         assert os.path.exists(os.path.join(out, "rgb_000.png"))
         assert os.path.exists(os.path.join(out, "roughness_001.png"))
 
+    def test_cli_orbit_render(self, scene_dir, trained):
+        from ibl_nerf_tpu.cli.render import main
+
+        argv = [
+            "--orbit_frames", "3", "--orbit_radius", "3.5",
+            "--datadir", scene_dir, "--basedir", trained,
+            "--expname", "exp", "--dataset_type", "mitsuba",
+            "--netdepth", "2", "--netwidth", "32",
+            "--N_samples", "8", "--N_importance", "8",
+            "--coarse_radiance_number", "2",
+            "--load_depth_range_from_file",
+            "--calculating_normal_type",
+            "normal_map_from_depth_gradient_epsilon",
+            "--render_factor", "4", "--use_viewdirs",
+        ]
+        results = main(argv)
+        assert results["rgb"].shape[0] == 3
+        out = os.path.join(trained, "exp", "orbit_000010")
+        assert os.path.exists(os.path.join(out, "rgb.avi"))
+
+    def test_cli_extract_mesh(self, scene_dir, trained):
+        from ibl_nerf_tpu.cli.test import run_test
+
+        args = small_args(scene_dir, trained,
+                          extra=["--render_factor", "8", "--testskip", "8",
+                                 "--extract_mesh",
+                                 "--export_basedir",
+                                 os.path.join(trained, "eval_mesh")])
+        run_test(args)
+        out = os.path.join(trained, "eval_mesh", "exp", "testset_000010")
+        assert os.path.exists(os.path.join(out, "mesh.obj"))
+
     def test_cli_edit_intrinsic(self, scene_dir, trained):
         from ibl_nerf_tpu.cli.test import run_test
 
