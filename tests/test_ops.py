@@ -236,7 +236,13 @@ class TestShading:
         n = jnp.asarray([[0.0, 1.0, 0.0]])
         np.testing.assert_allclose(np.asarray(ops.reflect(d, n)), [[0, 1, 0]], atol=1e-6)
 
-    def test_microfacet_shapes(self, rng):
+    def test_microfacet_parity_vs_reference(self, rng):
+        """Full GGX microfacet BRDF vs the reference Microfacet class."""
+        import sys
+
+        sys.path.insert(0, "/root/reference/src")
+        from nerf_models.microfacet import Microfacet
+
         N, L = 6, 10
         p2l = rng.standard_normal((N, L, 3)).astype(np.float32)
         p2c = rng.standard_normal((N, 3)).astype(np.float32)
@@ -247,7 +253,15 @@ class TestShading:
             jnp.asarray(p2l), jnp.asarray(p2c), jnp.asarray(nrm),
             jnp.asarray(alb), jnp.asarray(rgh))
         assert g.shape == (N, L, 3) and df.shape == (N, L, 3) and ldn.shape == (N, L, 1)
-        assert np.isfinite(np.asarray(g)).all() and np.isfinite(np.asarray(df)).all()
+
+        ref = Microfacet()
+        with torch.no_grad():
+            rg, rdf, rldn = ref(torch.tensor(p2l), torch.tensor(p2c),
+                                torch.tensor(nrm), torch.tensor(alb),
+                                torch.tensor(rgh))
+        np.testing.assert_allclose(np.asarray(g), t2n(rg), atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(df), t2n(rdf), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ldn), t2n(rldn), atol=1e-5)
 
 
 class TestGeometry:
