@@ -101,6 +101,42 @@ def make_scene(root: str, h: int = 40, w: int = 52, n_train: int = 3,
     return root
 
 
+def make_colmap_scene(root: str, h: int = 36, w: int = 48, n: int = 10,
+                      prior_type: str = "ting", seed: int = 0):
+    """Real-scene (colmap) file contract: transforms.json with
+    camera_angle_x/h/w + per-frame transform_matrix/file_path, images/
+    dir with optional `{stem}_{prior}_r/s.png` priors
+    (parity: dataset_colmap.py:6-69)."""
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    with open(os.path.join(root, "avg_irradiance.json"), "w") as f:
+        json.dump({"mean_ting": 0.55, "mean_bell": 0.6}, f)
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([xx / w, yy / h, 0.5 + 0.5 * np.cos(yy / 5)], -1)
+
+    frames = []
+    for i in range(n):
+        name = f"frame_{i:04d}.png"
+        img = np.clip(base * 0.8 + 0.2 * rng.uniform(0, 1, 3), 0, 1)
+        _write_png(os.path.join(img_dir, name), img)
+        _write_png(os.path.join(img_dir, f"frame_{i:04d}_{prior_type}_r.png"),
+                   img)
+        _write_png(os.path.join(img_dir, f"frame_{i:04d}_{prior_type}_s.png"),
+                   np.full((h, w, 3), 0.55, np.float32))
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.1 * i
+        frames.append({"file_path": f"./images/{name}",
+                       "transform_matrix": pose.tolist()})
+
+    with open(os.path.join(root, "transforms.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.8, "h": h, "w": w,
+                   "frames": frames}, f)
+    return root
+
+
 if __name__ == "__main__":
     import sys
 

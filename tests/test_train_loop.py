@@ -76,6 +76,60 @@ class TestDataset:
         assert s.edit_intrinsic_masks.shape[0] == 1
 
 
+class TestColmap:
+    @pytest.fixture(scope="class")
+    def colmap_dir(self, tmp_path_factory):
+        from make_synthetic_scene import make_colmap_scene
+
+        return make_colmap_scene(str(tmp_path_factory.mktemp("colmap")))
+
+    def test_load_and_split(self, colmap_dir):
+        from ibl_nerf_tpu.data.dataset import load_colmap
+
+        train = load_colmap(colmap_dir, split="train", load_priors=True,
+                            prior_type="ting", coarse_radiance_number=2)
+        test = load_colmap(colmap_dir, split="test", load_priors=False,
+                           coarse_radiance_number=0)
+        # every-8th-frame test split: 10 frames -> train {1..7,9}, test {0,8}
+        assert len(train) == 8
+        assert len(test) == 2
+        assert train.images.shape[1:] == (36, 48, 3)
+        assert train.prefiltered_images.shape[0] == 2
+        assert abs(train.prior_irradiance_mean - 0.55) < 1e-9
+        # half-res real-scene mode
+        half = load_colmap(colmap_dir, split="train", image_scale=0.5,
+                           coarse_radiance_number=0)
+        assert half.images.shape[1:3] == (18, 24)
+
+    def test_train_on_real_scene_config(self, colmap_dir, tmp_path):
+        """BASELINE config #5 capability: the real-scene (colmap) path
+        trains end-to-end with priors, half resolution."""
+        from ibl_nerf_tpu.cli.config import parse_with_includes
+        from ibl_nerf_tpu.train.loop import train
+
+        args = parse_with_includes([
+            "--datadir", colmap_dir,
+            "--basedir", str(tmp_path / "logs"),
+            "--expname", "real",
+            "--dataset_type", "colmap",
+            "--image_scale", "0.5",
+            "--near_plane", "0.5", "--far_plane", "20",
+            "--netdepth", "2", "--netwidth", "32",
+            "--N_rand", "16", "--N_samples", "8", "--N_importance", "8",
+            "--N_iter", "6",
+            "--coarse_radiance_number", "2",
+            "--load_priors", "--prior_type", "ting",
+            "--N_iter_ignore_approximated_radiance", "2",
+            "--N_iter_ignore_prior", "4",
+            "--calculating_normal_type",
+            "normal_map_from_depth_gradient_epsilon",
+            "--i_weights", "100000", "--i_testset", "100000",
+            "--summary_step", "2", "--use_viewdirs",
+        ])
+        state = train(args)
+        assert int(state.step) == 6
+
+
 class TestTrainLoop:
     def test_full_training_run(self, scene_dir, tmp_path):
         from ibl_nerf_tpu.train.loop import train
