@@ -73,10 +73,15 @@ def main(argv=None):
     fcfg = field_config_from_args(args)
     rcfg = render_config_from_args(args, fcfg).replace(
         approximate_radiance=True, perturb=False, raw_noise_std=0.0,
-        # gt-free trajectory: analytic normal estimator required
+        # gt-free trajectory: analytic normal estimator and no gt
+        # substitutions (orbit poses have no aligned ground truth)
         normal_type=(args.calculating_normal_type
                      if args.calculating_normal_type != "ground_truth"
-                     else "normal_map_from_depth_gradient_epsilon"))
+                     else "normal_map_from_depth_gradient_epsilon"),
+        depth_map_from_ground_truth=False,
+        calculate_albedo_from_gt=False,
+        calculate_roughness_from_gt=False,
+        calculate_irradiance_from_gt=False)
 
     variables = init_variables(jax.random.key(0), args, fcfg)
     consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}

@@ -102,17 +102,10 @@ def sample_pixel_batch(
 
     pose = arrays["poses"][img_idx]
     uv = jnp.stack([u, v], axis=1).astype(jnp.float32)
-    if merged:
-        # per-ray camera-to-world: rotate each ray by its own pose
-        K = arrays["K"]
-        dirs = jnp.stack(
-            [(uv[:, 0] - K[0][2]) / K[0][0],
-             -(uv[:, 1] - K[1][2]) / K[1][1],
-             -jnp.ones_like(uv[:, 0])], axis=-1)
-        rays_d = jnp.einsum("bc,brc->br", dirs, pose[:, :3, :3])
-        rays_o = pose[:, :3, 3]
-    else:
-        rays_o, rays_d = get_rays_for_pixels(uv, arrays["K"], pose[:3, :4])
+    # merged: pose is (B, 4, 4) and get_rays_for_pixels broadcasts the
+    # per-ray rotation; single-image: one shared (3, 4) pose.
+    c2w = pose[..., :3, :4]
+    rays_o, rays_d = get_rays_for_pixels(uv, arrays["K"], c2w)
 
     neigh_info = {}
     rays_o_n = rays_d_n = None

@@ -26,9 +26,10 @@ def _dirs_from_pixels(i: jnp.ndarray, j: jnp.ndarray, K: jnp.ndarray) -> jnp.nda
 
 def _rotate_to_world(dirs: jnp.ndarray, c2w: jnp.ndarray):
     # Row-vector contraction, identical to the reference's
-    # sum(dirs[..., None, :] * c2w[:3, :3], -1).
-    rays_d = jnp.sum(dirs[..., None, :] * c2w[:3, :3], axis=-1)
-    rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    # sum(dirs[..., None, :] * c2w[:3, :3], -1). c2w may carry leading
+    # batch dims (per-ray poses for merged sampling).
+    rays_d = jnp.sum(dirs[..., None, :] * c2w[..., :3, :3], axis=-1)
+    rays_o = jnp.broadcast_to(c2w[..., :3, -1], rays_d.shape)
     return rays_o, rays_d
 
 

@@ -50,6 +50,7 @@ def make_sharded_train_step(
     prior_irradiance_mean, near, far, mesh: Mesh,
     precrop: bool = False, precrop_frac: float = 0.5,
     merged_sampling: bool = False,
+    n_depth_random_volume: int = 256,
 ):
     """Jitted SPMD train step: batch sampled on device, rays sharded over
     the mesh, params replicated, grads psum'd by XLA.
@@ -98,7 +99,13 @@ def make_sharded_train_step(
             rand_dir = sign * rand_dir
             rand_dir = rand_dir / jnp.maximum(
                 jnp.linalg.norm(rand_dir, axis=-1, keepdims=True), 1e-12)
-            vol_batch = make_ray_batch(x_surface, rand_dir, near, far)
+            # truncate to N_depth_random_volume rays (parity step.py /
+            # reference train.py:368), keeping divisibility by the mesh
+            n_vol = min(n_depth_random_volume, batch_size)
+            n_vol -= n_vol % mesh.devices.size
+            n_vol = max(n_vol, mesh.devices.size)
+            vol_batch = make_ray_batch(x_surface[:n_vol], rand_dir[:n_vol],
+                                       near, far)
             depth_volume_result = render_rays(
                 k_vol_render, variables, consts, vol_batch, rcfg_phase,
                 is_depth_only=True)

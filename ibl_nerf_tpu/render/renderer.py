@@ -80,32 +80,7 @@ def _make_queries(field_params, rcfg: RenderConfig):
     dt_ng = (jnp.bfloat16 if rcfg.compute_dtype in ("bfloat16", "mixed")
              else jnp.float32)
 
-    def make_pair(dt):
-        params_c = (jax.tree.map(lambda x: x.astype(dt), field_params)
-                    if dt != jnp.float32 else field_params)
-
-        def query_full(pts, viewdirs):
-            # pts (B, S, 3); viewdirs (B, 3) broadcast over samples.
-            pe = positional_encoding(pts, fcfg.multires).astype(dt)
-            de = positional_encoding(viewdirs, fcfg.multires_views).astype(dt)
-            de = jnp.broadcast_to(de[..., None, :],
-                                  (*pts.shape[:-1], de.shape[-1]))
-            raw = apply_field(
-                params_c, pe, de, fcfg,
-                freeze_radiance=rcfg.freeze_radiance,
-                freeze_roughness=rcfg.freeze_roughness,
-            )
-            return raw.astype(jnp.float32)
-
-        def query_sigma(pts):
-            pe = positional_encoding(pts, fcfg.multires).astype(dt)
-            raw = apply_field_density(params_c, pe, fcfg,
-                                      freeze_radiance=rcfg.freeze_radiance)
-            return raw.astype(jnp.float32)
-
-        return query_full, query_sigma
-
-    query_full, query_sigma = make_pair(dt_grad)
+    query_full, query_sigma = _make_query_pair(field_params, rcfg, dt_grad)
 
     if rcfg.use_pallas:
         from ibl_nerf_tpu.kernels.fused_field import (
@@ -123,7 +98,7 @@ def _make_queries(field_params, rcfg: RenderConfig):
         def query_sigma_ng(pts):
             return fused_field_density(packed, pts, fcfg)
     elif dt_ng != dt_grad:
-        query_full_ng, query_sigma_ng = make_pair_ng(
+        query_full_ng, query_sigma_ng = _make_query_pair(
             jax.lax.stop_gradient(field_params), rcfg, dt_ng)
     else:
         query_full_ng, query_sigma_ng = query_full, query_sigma
@@ -131,12 +106,14 @@ def _make_queries(field_params, rcfg: RenderConfig):
     return query_full, query_sigma, query_full_ng, query_sigma_ng
 
 
-def make_pair_ng(field_params, rcfg, dt):
-    """bf16 no-grad query pair over stop_gradient'ed params."""
+def _make_query_pair(field_params, rcfg, dt):
+    """(query_full, query_sigma) closures at compute dtype `dt`."""
     fcfg = rcfg.field
-    params_c = jax.tree.map(lambda x: x.astype(dt), field_params)
+    params_c = (jax.tree.map(lambda x: x.astype(dt), field_params)
+                if dt != jnp.float32 else field_params)
 
-    def query_full_ng(pts, viewdirs):
+    def query_full(pts, viewdirs):
+        # pts (B, S, 3); viewdirs (B, 3) broadcast over samples.
         pe = positional_encoding(pts, fcfg.multires).astype(dt)
         de = positional_encoding(viewdirs, fcfg.multires_views).astype(dt)
         de = jnp.broadcast_to(de[..., None, :],
@@ -146,13 +123,13 @@ def make_pair_ng(field_params, rcfg, dt):
                           freeze_roughness=rcfg.freeze_roughness)
         return raw.astype(jnp.float32)
 
-    def query_sigma_ng(pts):
+    def query_sigma(pts):
         pe = positional_encoding(pts, fcfg.multires).astype(dt)
         raw = apply_field_density(params_c, pe, fcfg,
                                   freeze_radiance=rcfg.freeze_radiance)
         return raw.astype(jnp.float32)
 
-    return query_full_ng, query_sigma_ng
+    return query_full, query_sigma
 
 
 def _radiance_f(rcfg: RenderConfig):

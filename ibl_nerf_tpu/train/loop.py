@@ -291,7 +291,8 @@ def train(args):
                 prior_irradiance_mean=scene.prior_irradiance_mean,
                 near=scene.near, far=scene.far, mesh=mesh,
                 precrop=precrop, precrop_frac=args.precrop_frac,
-                merged_sampling=not args.no_batching)
+                merged_sampling=not args.no_batching,
+                n_depth_random_volume=args.N_depth_random_volume)
             state = place_state(state)
             arrays = place_arrays(arrays)
         else:

@@ -110,9 +110,17 @@ def _scalar_loss(result, key, value):
     return _with_coarse(result, key, lambda x: _mse(x, jnp.full_like(x, value)))
 
 
-def _key_loss(result, key, target_key):
+def _key_loss(result, key, target_key, fallback_key=None):
     """loss against another result key (coarse target falls back to the
-    fine target when no '0' variant exists — train.py:313-319)."""
+    fine target when no '0' variant exists — train.py:313-319).
+
+    fallback_key: used when target_key is absent (e.g. the configured
+    infer_normal_target names an estimator the renderer didn't compute;
+    the reference would KeyError — train.py:314). Returns 0.0 only when
+    neither exists (e.g. pre-approximate-radiance phases where no
+    estimator runs)."""
+    if target_key not in result and fallback_key in result:
+        target_key = fallback_key
     if key not in result or target_key not in result:
         return 0.0
     total = _mse(result[key], result[target_key])
@@ -171,8 +179,15 @@ def compute_losses(result: dict, pixel_info: dict, cfg: LossConfig,
     # inferred-normal loss
     loss_inferred_normal = 0.0
     if phase.normal_loss_on:
-        loss_inferred_normal = _key_loss(result, "inferred_normal_map",
-                                         cfg.infer_normal_target)
+        tgt = cfg.infer_normal_target
+        if tgt == "ground_truth":
+            tgt = "ground_truth_normal"
+        if tgt == "ground_truth_normal" and "normal" in pixel_info:
+            n = pixel_info["normal"] * 2.0 - 1.0
+            n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-10)
+            result = {**result, "ground_truth_normal": n}
+        loss_inferred_normal = _key_loss(result, "inferred_normal_map", tgt,
+                                         fallback_key="target_normal_map")
         total = total + cfg.beta_inferred_normal * loss_inferred_normal
 
     if phase.approximate_radiance:
@@ -193,19 +208,16 @@ def compute_losses(result: dict, pixel_info: dict, cfg: LossConfig,
     loss_prior_albedo = loss_prior_irr = loss_irr_reg = 0.0
     if phase.prior_loss_on:
         if cfg.albedo_prior_type == "chrom":
+            # fine-pass-only, matching the reference: it stores only
+            # result["albedo_chrom_map"] (train.py:401), so its
+            # '0'-suffix branch never fires for the chrom prior.
             prior_chrom = pixel_info["prior_albedo"] / (
                 jnp.linalg.norm(pixel_info["prior_albedo"], axis=-1,
                                 keepdims=True) + 1e-10)
-            albedo_chrom = {
-                "albedo_chrom_map": result["albedo_map"] / (
-                    jnp.linalg.norm(result["albedo_map"], axis=-1,
-                                    keepdims=True) + 1e-10)}
-            if "albedo_map0" in result:
-                albedo_chrom["albedo_chrom_map0"] = result["albedo_map0"] / (
-                    jnp.linalg.norm(result["albedo_map0"], axis=-1,
-                                    keepdims=True) + 1e-10)
-            loss_prior_albedo = _pair_loss(albedo_chrom, "albedo_chrom_map",
-                                           prior_chrom)
+            albedo_chrom = result["albedo_map"] / (
+                jnp.linalg.norm(result["albedo_map"], axis=-1,
+                                keepdims=True) + 1e-10)
+            loss_prior_albedo = _mse(albedo_chrom, prior_chrom)
         else:
             loss_prior_albedo = _pair_loss(result, "albedo_map",
                                            pixel_info["prior_albedo"])

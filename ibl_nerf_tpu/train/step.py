@@ -126,6 +126,15 @@ def make_train_step(
         freeze_roughness=phase.freeze_roughness,
     )
 
+    if phase.normal_loss_on and not phase.approximate_radiance:
+        from ibl_nerf_tpu.utils.logging import load_logger
+
+        load_logger("train").warning(
+            "inferred-normal loss is active but approximate_radiance is "
+            "off for this phase — no normal estimator runs, so the loss "
+            "is 0 until step %d",
+            lcfg.n_iter_ignore_approximated_radiance)
+
     def loss_fn(variables, key, arrays):
         k_sample, k_render, k_vol, k_vol_render = jax.random.split(key, 4)
         pixel_info, rays_o, rays_d, _, _, _ = sample_pixel_batch(

@@ -79,13 +79,13 @@ def torch_reference_total(result, pixel_info, cfg: LossConfig, step: int,
 
     if cfg.load_priors and step >= cfg.n_iter_ignore_prior:
         if cfg.albedo_prior_type == "chrom":
+            # fine-only: reference stores only "albedo_chrom_map" so the
+            # '0'-suffix branch of calculate_loss never fires
             pc = p["prior_albedo"] / (
                 p["prior_albedo"].norm(dim=-1, keepdim=True) + 1e-10)
             ac = t["albedo_map"] / (
                 t["albedo_map"].norm(dim=-1, keepdim=True) + 1e-10)
-            ac0 = t["albedo_map0"] / (
-                t["albedo_map0"].norm(dim=-1, keepdim=True) + 1e-10)
-            loss_pa = mse(ac, pc) + mse(ac0, pc)
+            loss_pa = mse(ac, pc)
         else:
             loss_pa = calc("albedo_map", p["prior_albedo"])
         # shape-matched prior irradiance (our documented fix of the
