@@ -215,6 +215,39 @@ class TestCompare:
         df = time_calculator([str(d)])
         assert abs(df.iloc[0]["time_per_step"] - 2.0) < 1e-9
 
+    def test_calculate_metrics_folder_protocol(self, tmp_path):
+        """Reference protocol: pred `{prefix}_{i:03d}.png` vs gt
+        `test/{i+1}{suffix}.png` folders."""
+        import cv2
+        from ibl_nerf_tpu.eval.compare import calculate_metrics, error_calculator
+
+        rng = np.random.default_rng(0)
+        scene = tmp_path / "results" / "kitchen" / "ours"
+        gt = tmp_path / "data" / "kitchen" / "test"
+        scene.mkdir(parents=True)
+        gt.mkdir(parents=True)
+        for i in range(3):
+            img = (rng.uniform(0, 1, (24, 32, 3)) * 255).astype(np.uint8)
+            noisy = np.clip(img.astype(int) + rng.integers(-10, 10, img.shape),
+                            0, 255).astype(np.uint8)
+            cv2.imwrite(str(scene / f"rgb_{i:03d}.png"), noisy)
+            cv2.imwrite(str(gt / f"{i + 1}.png"), img)
+            cv2.imwrite(str(scene / f"albedo_{i:03d}.png"), img)
+            cv2.imwrite(str(gt / f"{i + 1}_albedo.png"), img)
+
+        m = calculate_metrics(str(scene), str(gt), 3, "image")
+        assert 20 < m["psnr"] < 50 and 0.5 < m["ssim"] < 1.0
+        m2 = calculate_metrics(str(scene), str(gt), 3, "albedo")
+        assert m2["psnr"] > 50  # identical images
+
+        df = error_calculator(["kitchen"], ["ours"],
+                              str(tmp_path / "results"),
+                              str(tmp_path / "data"),
+                              targets=("image", "albedo"), n_images=3,
+                              out_csv=str(tmp_path / "sweep.csv"))
+        assert len(df) == 2
+        assert os.path.exists(tmp_path / "sweep.csv")
+
     def test_pprint_latex(self):
         import pandas as pd
         from ibl_nerf_tpu.eval.compare import pprint_latex
