@@ -30,6 +30,13 @@ ITERS = 20
 
 
 def main():
+    # persistent compile cache: repeat runs skip the ~1-3 min XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
     from ibl_nerf_tpu.render import RenderConfig
     from ibl_nerf_tpu.train.losses import LossConfig, resolve_phase

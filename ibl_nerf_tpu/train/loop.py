@@ -41,6 +41,9 @@ from ibl_nerf_tpu.utils.logging import load_logger, ScalarWriter
 
 
 def field_config_from_args(args) -> FieldConfig:
+    # netdepth_fine/netwidth_fine are accepted-but-dead flags, exactly as
+    # in the reference: create_IBLNeRF builds BOTH models from
+    # netdepth/netwidth (ibl_nerf.py:266-286 never reads the _fine ones).
     return FieldConfig(
         depth=args.netdepth, width=args.netwidth,
         multires=args.multires, multires_views=args.multires_views,
