@@ -77,7 +77,7 @@ def ref_setup():
     }
 
 
-def run_reference(s, approximate_radiance):
+def run_reference(s, approximate_radiance, gt_values=None, **kw):
     from nerf_models.ibl_nerf_renderer import render_rays as ref_render_rays
 
     ray_batch = np.concatenate(
@@ -87,6 +87,19 @@ def run_reference(s, approximate_radiance):
          s["rays_d"]], axis=-1)
 
     lut_t = torch.tensor(s["lut"]).permute(2, 0, 1)
+    ref_kw = dict(
+        perturb=0.0, raw_noise_std=0.0,
+        approximate_radiance=approximate_radiance,
+        brdf_lut=lut_t, coarse_radiance_number=K_COARSE,
+        target_normal_map_for_radiance_calculation=(
+            "normal_map_from_depth_gradient_epsilon"),
+        epsilon=0.02, lut_coefficient="F", use_radiance_linear=False,
+        gamma_correct=False, lindisp=False,
+    )
+    ref_kw.update(kw)
+    if gt_values is not None:
+        ref_kw["gt_values"] = {k: torch.tensor(v)
+                               for k, v in gt_values.items()}
 
     with torch.no_grad():
         out = ref_render_rays(
@@ -96,29 +109,28 @@ def run_reference(s, approximate_radiance):
             N_samples=NS,
             N_importance=NI,
             network_fine=s["fine"],
-            perturb=0.0,
-            raw_noise_std=0.0,
-            approximate_radiance=approximate_radiance,
-            brdf_lut=lut_t,
-            coarse_radiance_number=K_COARSE,
-            target_normal_map_for_radiance_calculation=(
-                "normal_map_from_depth_gradient_epsilon"),
-            epsilon=0.02,
-            lut_coefficient="F",
-            use_radiance_linear=False,
-            gamma_correct=False,
+            **ref_kw,
         )
     return {k: v.numpy() for k, v in out.items()
             if isinstance(v, torch.Tensor)}
 
 
-def run_ours(s, approximate_radiance):
+def run_ours(s, approximate_radiance, gt_values=None, **kw):
     fcfg = FieldConfig(depth=D, width=W, coarse_radiance_number=K_COARSE)
+    # map reference kwarg names -> RenderConfig field names
+    name_map = {"lut_coefficient": "lut_coefficient",
+                "use_radiance_linear": "use_radiance_linear",
+                "gamma_correct": "gamma_correct", "lindisp": "lindisp",
+                "depth_map_from_ground_truth": "depth_map_from_ground_truth",
+                "calculate_albedo_from_gt": "calculate_albedo_from_gt",
+                "calculate_roughness_from_gt": "calculate_roughness_from_gt",
+                "calculate_irradiance_from_gt": "calculate_irradiance_from_gt"}
+    cfg_kw = {name_map[k]: v for k, v in kw.items() if k in name_map}
     rcfg = RenderConfig(
         field=fcfg, n_samples=NS, n_importance=NI, perturb=False,
         approximate_radiance=approximate_radiance,
         normal_type="normal_map_from_depth_gradient_epsilon",
-        epsilon=0.02,
+        epsilon=0.02, **cfg_kw,
     )
     variables = {
         "coarse": field_params_from_torch_state(np_sd(s["coarse"]), K_COARSE, D),
@@ -127,7 +139,10 @@ def run_ours(s, approximate_radiance):
     consts = {"brdf_lut": jnp.asarray(s["lut"])}
     batch = make_ray_batch(jnp.asarray(s["rays_o"]), jnp.asarray(s["rays_d"]),
                            s["near"], s["far"])
-    out = render_rays(jax.random.key(0), variables, consts, batch, rcfg)
+    gt = ({k: jnp.asarray(v) for k, v in gt_values.items()}
+          if gt_values is not None else None)
+    out = render_rays(jax.random.key(0), variables, consts, batch, rcfg,
+                      gt_values=gt)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -169,6 +184,48 @@ class TestRendererParity:
                 r = r.reshape(o.shape)
             np.testing.assert_allclose(
                 o, r, atol=2e-3, rtol=5e-3, err_msg=f"map {k}")
+
+    @pytest.mark.parametrize("kw", [
+        {"use_radiance_linear": True},                       # HDR + reinhard
+        {"gamma_correct": True},                             # sRGB encode
+        {"use_radiance_linear": True, "gamma_correct": True},
+        {"lut_coefficient": "F0"},                           # F0 specular
+        {"lindisp": True},                                   # disparity z
+    ])
+    def test_mode_matrix(self, ref_setup, kw):
+        """Output-transform / LUT / sampling mode branches vs reference."""
+        ref = run_reference(ref_setup, approximate_radiance=True, **kw)
+        ours = run_ours(ref_setup, approximate_radiance=True, **kw)
+        for k in ("radiance_map", "color_map", "specular_map",
+                  "irradiance_map", "depth_map"):
+            r, o = ref[k], ours[k]
+            if r.shape != o.shape:
+                r = r.reshape(o.shape)
+            np.testing.assert_allclose(o, r, atol=3e-3, rtol=1e-2,
+                                       err_msg=f"{kw} map {k}")
+
+    def test_gt_substitutions(self, ref_setup, rng=None):
+        """depth_map_from_ground_truth + calculate_*_from_gt branches."""
+        rng = np.random.default_rng(21)
+        gt = {
+            "depth": rng.uniform(2.5, 5.5, (B, 1)).astype(np.float32),
+            "albedo": rng.uniform(0, 1, (B, 3)).astype(np.float32),
+            "roughness": rng.uniform(0.1, 0.9, (B, 1)).astype(np.float32),
+            "irradiance": rng.uniform(0, 1, (B, 3)).astype(np.float32),
+        }
+        kw = dict(depth_map_from_ground_truth=True,
+                  calculate_albedo_from_gt=True,
+                  calculate_roughness_from_gt=True,
+                  calculate_irradiance_from_gt=True)
+        ref = run_reference(ref_setup, True, gt_values=gt, **kw)
+        ours = run_ours(ref_setup, True, gt_values=gt, **kw)
+        for k in ("color_map", "albedo_map", "roughness_map",
+                  "irradiance_map", "target_depth_map", "diffuse_map"):
+            r, o = ref[k], ours[k]
+            if r.shape != o.shape:
+                r = r.reshape(o.shape)
+            np.testing.assert_allclose(o, r, atol=3e-3, rtol=1e-2,
+                                       err_msg=f"gt-sub map {k}")
 
     def test_jit_compiles(self, ref_setup):
         s = ref_setup
