@@ -494,7 +494,7 @@ def _apply_edit_overrides(edit, masks, mask_all, gt, normal_map, albedo_map,
     if edit.mode == "edit":
         if edit.edit_normal:
             g = gt["edit_normal"] * 2.0 - 1.0
-            g = g / jnp.maximum(jnp.linalg.norm(g, -1, keepdims=True), 1e-12)
+            g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
             normal_map = _where(mask_all, g, normal_map)
         if edit.edit_albedo:
             if edit.edit_albedo_by_img:
@@ -513,7 +513,7 @@ def _apply_edit_overrides(edit, masks, mask_all, gt, normal_map, albedo_map,
                     roughness_map = _where(masks[i], r, roughness_map)
     else:  # insert
         g = gt["object_insert_normal"] * 2.0 - 1.0
-        g = g / jnp.maximum(jnp.linalg.norm(g, -1, keepdims=True), 1e-12)
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
         normal_map = _where(mask_all, g, normal_map)
         for i, m in enumerate(masks):
             roughness_map = _where(m, edit.target_roughness[i], roughness_map)

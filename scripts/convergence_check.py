@@ -22,7 +22,8 @@ import numpy as np
 
 
 def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
-         logdir="/tmp/convergence_logs", compute_dtype="float32"):
+         logdir="/tmp/convergence_logs", compute_dtype="float32",
+         no_batching=False):
     from analytic_scene import make_analytic_scene
     from ibl_nerf_tpu.cli.config import parse_with_includes
     from ibl_nerf_tpu.train.loop import train
@@ -51,7 +52,7 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
         "--use_viewdirs",
         "--testskip", "1",
         "--compute_dtype", compute_dtype,
-    ])
+    ] + (["--no_batching"] if no_batching else []))
 
     t0 = time.time()
     state = train(args)
