@@ -23,7 +23,10 @@ import numpy as np
 
 def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
          logdir="/tmp/convergence_logs", compute_dtype="float32",
-         no_batching=False):
+         no_batching=True):
+    # no_batching=True is the canonical protocol (the live reference
+    # configs train single-image batches); merged sampling converges
+    # differently at short horizons (27.2 vs 30.6 radiance PSNR @3k).
     from analytic_scene import make_analytic_scene
     from ibl_nerf_tpu.cli.config import parse_with_includes
     from ibl_nerf_tpu.train.loop import train
