@@ -59,13 +59,15 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
     mu_bb = mu_b * mu_b
     mu_ab = mu_a * mu_b
 
-    sigma_aa = filt(a * a) - mu_aa
-    sigma_bb = filt(b * b) - mu_bb
+    # clamp variances: E[x^2]-E[x]^2 cancels catastrophically on flat
+    # patches in f32 and can push per-pixel SSIM above 1
+    sigma_aa = jnp.maximum(filt(a * a) - mu_aa, 0.0)
+    sigma_bb = jnp.maximum(filt(b * b) - mu_bb, 0.0)
     sigma_ab = filt(a * b) - mu_ab
 
     num = (2 * mu_ab + c1) * (2 * sigma_ab + c2)
     den = (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)
-    return jnp.mean(num / den)
+    return jnp.mean(jnp.clip(num / den, -1.0, 1.0))
 
 
 def batch_metrics(preds: np.ndarray, gts: np.ndarray) -> dict:
