@@ -615,16 +615,23 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
 
 def render_image(key, variables, consts, H, W, K, c2w, near, far,
                  rcfg: RenderConfig, gt_values=None, chunk: int = 2048,
-                 render_fn=None):
+                 render_fn=None, c2w_staticcam=None):
     """Render a full image by mapping a jitted chunk renderer over rows of
     rays. gt_values entries must be flattened (H*W, C).
 
     `render_fn` lets callers supply a pre-jitted render_rays closure
     (key, batch, gt) -> maps so compilation is shared across frames.
+    c2w_staticcam: when given, ray origins/directions come from it while
+    viewdirs keep c2w — visualizes the view-dependence (parity:
+    render_decomp, ibl_nerf_renderer.py:792-796).
     """
     rays_o, rays_d = get_rays_full_image(H, W, K, c2w)
+    viewdirs_src = rays_d
+    if c2w_staticcam is not None:
+        rays_o, rays_d = get_rays_full_image(H, W, K, c2w_staticcam)
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
+    viewdirs_src = viewdirs_src.reshape(-1, 3)
     n = rays_o.shape[0]
 
     pad = (-n) % chunk
@@ -632,6 +639,7 @@ def render_image(key, variables, consts, H, W, K, c2w, near, far,
         padder = lambda x: jnp.concatenate(
             [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         rays_o, rays_d = padder(rays_o), padder(rays_d)
+        viewdirs_src = padder(viewdirs_src)
         if gt_values:
             gt_values = {k: padder(v) for k, v in gt_values.items()}
 
@@ -639,6 +647,10 @@ def render_image(key, variables, consts, H, W, K, c2w, near, far,
     for i in range(0, n + pad, chunk):
         batch = make_ray_batch(rays_o[i:i + chunk], rays_d[i:i + chunk],
                                near, far)
+        if c2w_staticcam is not None:
+            vd = viewdirs_src[i:i + chunk]
+            batch["viewdirs"] = vd / jnp.linalg.norm(vd, axis=-1,
+                                                     keepdims=True)
         gt_i = ({k: v[i:i + chunk] for k, v in gt_values.items()}
                 if gt_values else None)
         if render_fn is not None:
