@@ -204,6 +204,49 @@ class TestMergedSampling:
         assert np.allclose(np.asarray(ro), np.asarray(ro)[0])  # one camera
 
 
+class TestSamplerModes:
+    def _arrays(self):
+        rng = np.random.default_rng(0)
+        n_img, h, w = 3, 16, 16
+        poses = np.stack([np.eye(4, dtype=np.float32)] * n_img)
+        return {
+            "images": jnp.asarray(rng.uniform(0, 1, (n_img, h, w, 3)).astype(np.float32)),
+            "normal": jnp.asarray(rng.uniform(0, 1, (n_img, h, w, 3)).astype(np.float32)),
+            "poses": jnp.asarray(poses),
+            "K": jnp.asarray(np.array(
+                [[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]], np.float32)),
+        }, h, w
+
+    def test_patch_mode(self):
+        """8-neighbor patch sampling (parity: sample_generator ray_sample
+        ='patch' + get_neighbor_coord)."""
+        from ibl_nerf_tpu.data.sampler import sample_pixel_batch
+
+        arrays, h, w = self._arrays()
+        info, ro, rd, neigh, ro_n, rd_n = sample_pixel_batch(
+            jax.random.key(0), arrays, 8, h, w, patch=True)
+        assert neigh["rgb"].shape == (8, 8, 3)
+        assert neigh["normal"].shape == (8, 8, 3)
+        assert ro_n.shape == (8, 8, 3) and rd_n.shape == (8, 8, 3)
+        # patch mode keeps pixels 1 away from the border
+        assert np.isfinite(np.asarray(rd_n)).all()
+
+    def test_precrop(self):
+        """Precrop warm-up restricts samples to the center crop."""
+        from ibl_nerf_tpu.data.sampler import sample_pixel_batch
+        from ibl_nerf_tpu.ops.rays import get_rays_for_pixels
+
+        arrays, h, w = self._arrays()
+        _, ro, rd, _, _, _ = sample_pixel_batch(
+            jax.random.key(1), arrays, 64, h, w,
+            precrop=True, precrop_frac=0.25)
+        # reconstruct pixel x from direction: x = dirs_x * f + cx
+        dirs_cam_x = np.asarray(rd)[:, 0] / (-np.asarray(rd)[:, 2])
+        px = dirs_cam_x * 20.0 + 8.0
+        # frac 0.25 of 16 -> central [6, 10)
+        assert px.min() >= 5.5 and px.max() <= 10.5
+
+
 class TestCompare:
     def test_time_calculator(self, tmp_path):
         from ibl_nerf_tpu.eval.compare import time_calculator
