@@ -204,6 +204,36 @@ class TestMergedSampling:
         assert np.allclose(np.asarray(ro), np.asarray(ro)[0])  # one camera
 
 
+class TestLabelEncoders:
+    COLORS = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
+
+    def test_colored_mask_roundtrip(self):
+        from ibl_nerf_tpu.utils.labels import (
+            colored_mask_to_label_map, label_to_colored_label)
+
+        label = np.array([[0, 1], [2, 1]])
+        mask = self.COLORS[label]
+        back = colored_mask_to_label_map(mask, self.COLORS)
+        np.testing.assert_array_equal(back, label)
+        colored = label_to_colored_label(jnp.asarray(label),
+                                         jnp.asarray(self.COLORS))
+        np.testing.assert_array_equal(np.asarray(colored), mask)
+
+    @pytest.mark.parametrize("cls_name", [
+        "OneHotLabelEncoder", "ScalarLabelEncoder",
+        "ColoredLabelEncoder", "RandomLabelEncoder"])
+    def test_encode_decode_roundtrip(self, cls_name):
+        from ibl_nerf_tpu.utils import labels as L
+
+        enc = getattr(L, cls_name)(self.COLORS)
+        lab = jnp.asarray([0, 1, 2, 1, 0])
+        e = enc.encode(lab)
+        assert e.shape == (5, enc.get_dimension())
+        np.testing.assert_array_equal(np.asarray(enc.decode(e)),
+                                      np.asarray(lab))
+        assert float(enc.error(e, lab)) < 1e-10
+
+
 class TestSamplerModes:
     def _arrays(self):
         rng = np.random.default_rng(0)
