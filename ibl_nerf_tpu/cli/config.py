@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--netwidth", type=int, default=256)
     add("--netdepth_fine", type=int, default=8)
     add("--netwidth_fine", type=int, default=256)
+    # The reference accepts netdepth_fine/netwidth_fine but never reads
+    # them (create_IBLNeRF builds both models from netdepth/netwidth,
+    # ibl_nerf.py:266-286). Opt in to actually honor them:
+    add("--use_fine_arch_flags", action="store_true")
     add("--N_rand", type=int, default=32 * 32 * 4)
     add("--ray_sample", type=str, default="pixel")
     add("--N_depth_random_volume", type=int, default=256)

@@ -39,6 +39,40 @@ def orbit_poses(n_frames: int, phi: float, radius: float) -> np.ndarray:
     ])
 
 
+def spiral_poses(n_frames: int, phi: float, radius: float,
+                 n_turns: float = 2.0, phi_amp: float = 15.0) -> np.ndarray:
+    """Spiral: theta sweeps n_turns revolutions while elevation
+    oscillates +-phi_amp around phi (the classic NeRF demo path)."""
+    t = np.linspace(0.0, 1.0, n_frames, endpoint=False)
+    return np.stack([
+        pose_spherical(-180.0 + 360.0 * n_turns * ti,
+                       phi + phi_amp * np.sin(2.0 * np.pi * ti),
+                       radius)
+        for ti in t
+    ])
+
+
+def lemniscate_poses(n_frames: int, phi: float, radius: float,
+                     theta_amp: float = 60.0,
+                     phi_amp: float = 20.0) -> np.ndarray:
+    """Figure-eight (lemniscate of Gerono in angle space) centered on
+    (theta=0, phi): good for inspecting a single wall/region."""
+    t = np.linspace(0.0, 2.0 * np.pi, n_frames, endpoint=False)
+    return np.stack([
+        pose_spherical(theta_amp * np.sin(ti),
+                       phi + phi_amp * np.sin(ti) * np.cos(ti),
+                       radius)
+        for ti in t
+    ])
+
+
+TRAJECTORIES = {
+    "orbit": orbit_poses,
+    "spiral": spiral_poses,
+    "lemniscate": lemniscate_poses,
+}
+
+
 def main(argv=None):
     logger = load_logger("render")
     # extra orbit flags on top of the shared parser
@@ -58,6 +92,9 @@ def main(argv=None):
     n_frames = pop_flag("--orbit_frames", 60, int)
     phi = pop_flag("--orbit_phi", -30.0, float)
     radius = pop_flag("--orbit_radius", 4.0, float)
+    traj = pop_flag("--trajectory", "orbit", str)
+    if traj not in TRAJECTORIES:
+        raise SystemExit(f"--trajectory must be one of {sorted(TRAJECTORIES)}")
 
     args = parse_with_includes(raw)
 
@@ -95,8 +132,8 @@ def main(argv=None):
     if not found:
         raise FileNotFoundError(f"no checkpoint in {logdir}")
 
-    poses = orbit_poses(n_frames, phi, radius)
-    outdir = os.path.join(logdir, f"orbit_{int(state.step):06d}")
+    poses = TRAJECTORIES[traj](n_frames, phi, radius)
+    outdir = os.path.join(logdir, f"{traj}_{int(state.step):06d}")
     # strip gt buffers: trajectory has no aligned ground truth
     scene.normals = scene.albedos = scene.roughness = None
     scene.depths = scene.irradiances = None

@@ -53,6 +53,11 @@ class RenderConfig:
     """All static knobs of one render mode."""
 
     field: FieldConfig = FieldConfig()
+    # Distinct fine-network architecture (None = same as coarse). The
+    # reference parses netdepth_fine/netwidth_fine but never reads them;
+    # this framework supports them properly (opt-in, --use_fine_arch_flags).
+    # Must share multires/coarse_radiance_number with `field`.
+    field_fine: FieldConfig | None = None
 
     # sampling
     n_samples: int = 64

@@ -584,15 +584,22 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
         fine_vars = dict(variables)
         fine_vars["coarse_or_fine"] = variables.get("fine", variables["coarse"])
 
+        # Distinct fine architecture: swap the field config for the fine
+        # pass only (multires/K are shared, so every downstream shape —
+        # embeddings, raw channels, maps — is unchanged).
+        rcfg_f = rcfg
+        if rcfg.field_fine is not None:
+            rcfg_f = rcfg.replace(field=rcfg.field_fine, field_fine=None)
+
         if is_depth_only:
             _, query_sigma_f, _, _ = _make_queries(
-                fine_vars["coarse_or_fine"], rcfg)
+                fine_vars["coarse_or_fine"], rcfg_f)
             result_fine = _render_depth_only(k_fine, query_sigma_f, rays_o,
-                                             rays_d, z_all, rcfg)
+                                             rays_d, z_all, rcfg_f)
         else:
             result_fine = _raw2outputs(k_fine, fine_vars, consts, rays_o,
                                        rays_d, z_all, z_vals_constant, near,
-                                       far, rcfg, gt_values)
+                                       far, rcfg_f, gt_values)
 
         for k, v in result.items():
             result_fine[k + "0"] = v

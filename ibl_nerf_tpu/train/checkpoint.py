@@ -75,7 +75,11 @@ def restore_checkpoint(logdir: str, state, ft_path: str | None = None,
         "elapsed_time": np.asarray(0.0),
     }
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path, item=template)
+    # Restore with explicit shardings from the live state so sharded
+    # (mesh-placed) arrays come back on their devices directly instead
+    # of via a host round-trip (and without orbax's sharding warning).
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    restored = ckptr.restore(path, item=template, restore_args=restore_args)
     new_state = state.replace(
         variables=restored["variables"],
         opt_state=restored["opt_state"],

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from dataclasses import replace as dataclasses_replace
 
 import jax
 import jax.numpy as jnp
@@ -52,9 +53,24 @@ def field_config_from_args(args) -> FieldConfig:
     )
 
 
+def fine_field_config_from_args(args, fcfg: FieldConfig) -> FieldConfig | None:
+    """Distinct fine-network architecture — an opt-in capability the
+    reference only pretends to have (its netdepth_fine/netwidth_fine
+    flags are parsed but never read). None = fine shares the coarse
+    architecture (verbatim reference-config behavior)."""
+    if not getattr(args, "use_fine_arch_flags", False):
+        return None
+    if (args.netdepth_fine == fcfg.depth
+            and args.netwidth_fine == fcfg.width):
+        return None
+    return dataclasses_replace(fcfg, depth=args.netdepth_fine,
+                               width=args.netwidth_fine)
+
+
 def render_config_from_args(args, fcfg: FieldConfig) -> RenderConfig:
     return RenderConfig(
         field=fcfg,
+        field_fine=fine_field_config_from_args(args, fcfg),
         n_samples=args.N_samples,
         n_importance=args.N_importance,
         perturb=args.perturb > 0,
@@ -122,7 +138,8 @@ def init_variables(key, args, fcfg: FieldConfig) -> dict:
     keys = iter(jax.random.split(key, 16))
     variables = {"coarse": init_field_params(next(keys), fcfg)}
     if args.N_importance > 0:
-        variables["fine"] = init_field_params(next(keys), fcfg)
+        fcfg_fine = fine_field_config_from_args(args, fcfg) or fcfg
+        variables["fine"] = init_field_params(next(keys), fcfg_fine)
     in_ch, in_ch_views = fcfg.input_ch, fcfg.input_ch_views
     if args.infer_depth:
         variables["depth_mlp"] = init_position_direction_mlp(

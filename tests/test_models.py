@@ -161,3 +161,53 @@ class TestAuxMLPParity:
         p2 = init_position_direction_mlp(jax.random.key(1))
         assert p2["views"][0]["w"].shape == (27 + 256, 128)
         assert len(p2["views"]) == 4
+
+
+class TestDistinctFineArchitecture:
+    """--use_fine_arch_flags: a genuinely distinct fine network (the
+    reference parses netdepth_fine/netwidth_fine but never reads them)."""
+
+    def test_render_and_grads(self):
+        from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
+        from ibl_nerf_tpu.models.field import init_field_params
+        from ibl_nerf_tpu.render import (
+            RenderConfig, make_ray_batch, render_rays)
+        import dataclasses
+
+        fcfg = FieldConfig(depth=2, width=32, coarse_radiance_number=2)
+        fcfg_fine = dataclasses.replace(fcfg, depth=3, width=48)
+        rcfg = RenderConfig(
+            field=fcfg, field_fine=fcfg_fine, n_samples=8, n_importance=8,
+            perturb=False, approximate_radiance=True,
+            normal_type="normal_map_from_depth_gradient_epsilon")
+
+        variables = {
+            "coarse": init_field_params(jax.random.key(0), fcfg),
+            "fine": init_field_params(jax.random.key(1), fcfg_fine),
+        }
+        # random init can leave raw sigma <= 0 everywhere (dead density
+        # -> zero weights -> zero grads); bias it live for the grad check
+        for v in variables.values():
+            v["sigma"]["b"] = v["sigma"]["b"] + 0.5
+        assert variables["fine"]["trunk"][0]["w"].shape[1] == 48
+        assert len(variables["fine"]["trunk"]) == 3
+
+        consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
+        rng = np.random.default_rng(3)
+        rays_o = jnp.asarray(rng.standard_normal((6, 3)), jnp.float32)
+        rays_d = jnp.asarray(rng.standard_normal((6, 3)), jnp.float32)
+        batch = make_ray_batch(rays_o, rays_d, 2.0, 6.0)
+
+        def loss(variables):
+            out = render_rays(jax.random.key(0), variables, consts, batch,
+                              rcfg)
+            return jnp.mean(out["color_map"] ** 2) + jnp.mean(
+                out["radiance_map0"] ** 2)
+
+        val, grads = jax.value_and_grad(loss)(variables)
+        assert np.isfinite(float(val))
+        for name in ("coarse", "fine"):
+            g = grads[name]["trunk"][0]["w"]
+            assert g.shape == variables[name]["trunk"][0]["w"].shape
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.abs(g).max()) > 0.0

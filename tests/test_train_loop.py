@@ -252,6 +252,26 @@ class TestRenderPathAndCLI:
         out = os.path.join(trained, "exp", "orbit_000010")
         assert os.path.exists(os.path.join(out, "rgb.avi"))
 
+    def test_trajectory_presets(self):
+        from ibl_nerf_tpu.cli.render import TRAJECTORIES
+
+        for name, fn in TRAJECTORIES.items():
+            poses = fn(12, -30.0, 4.0)
+            assert poses.shape == (12, 4, 4), name
+            rot = poses[:, :3, :3]
+            # camera-to-world rotations stay orthonormal along the path
+            eye = np.einsum("nij,nkj->nik", rot, rot)
+            np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3),
+                                                            (12, 3, 3)),
+                                       atol=1e-5)
+            # camera stays on the requested radius
+            np.testing.assert_allclose(np.linalg.norm(poses[:, :3, 3], axis=1),
+                                       4.0, rtol=1e-5)
+        # presets actually differ from the plain orbit
+        orbit = TRAJECTORIES["orbit"](12, -30.0, 4.0)
+        for name in ("spiral", "lemniscate"):
+            assert not np.allclose(TRAJECTORIES[name](12, -30.0, 4.0), orbit)
+
     def test_cli_extract_mesh(self, scene_dir, trained):
         from ibl_nerf_tpu.cli.test import run_test
 
