@@ -214,6 +214,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("--depth_map_from_ground_truth", action="store_true")
     add("--train_depth_from_ground_truth", action="store_true")
     add("--lut_coefficient", type=str, default="F")
+    # Shading estimator (ours; the reference ships Microfacet/hemisphere
+    # samplers but only ever shades via split-sum):
+    add("--shading_mode", type=str, default="split_sum",
+        choices=["split_sum", "monte_carlo"])
+    add("--mc_samples_axis", type=int, default=3)
 
     add("--precrop_iters", type=int, default=0)
     add("--precrop_frac", type=float, default=0.5)

@@ -13,10 +13,16 @@ no-gradient sweeps (ε-normal rays, reflected march), which carry ~80%
 of the MLP FLOPs in the live config (SURVEY.md §3.1).
 
 Design notes:
- - input is the 128-padded embedded features [pts_emb(63) | dirs_emb(27)
-   | 0-pad]; all sub-128 contractions are expressed as 128-wide matmuls
-   against zero-padded weights (skip concat becomes a split matmul —
-   no concats inside the kernel);
+ - input is the raw (TILE, 8) packed [pts(3) | dirs(3) | 0-pad]; the
+   positional encoding is computed IN-KERNEL as one (8→128) matmul plus
+   a VPU sin: emb = where(id_col, t, sin(t + phase)), t = x @ E, where
+   E places frequency 2^k on the right input row per output column and
+   phase π/2 turns sin into cos. This removes the (N, 128) embedded
+   activation XLA had to materialize in HBM (v1's "repack boundary"):
+   HBM input traffic per point drops 16× (32 B vs 512 B);
+ - all sub-128 contractions are expressed as 128-wide matmuls against
+   zero-padded weights (skip concat becomes a split matmul — no concats
+   inside the kernel);
  - every head lands in one (TILE, 128) output accumulated from four
    matmuls with column-placed packed weights:
    out = h@A + pos_feat@B + h2@C + view_feat@D + bias;
@@ -37,12 +43,50 @@ from jax.experimental.pallas import tpu as pltpu
 from ibl_nerf_tpu.models.field import FieldConfig
 
 LANE = 128
-TILE = 1024  # points per grid step
+TILE = 2048   # points per grid step (best of 512..4096 sweep on v5e)
+NSPLIT = 2    # independent half-chains per tile: lets the scheduler
+              # overlap one half's VPU (bias+relu+cast) with the other
+              # half's MXU matmul (~5% measured on v5e)
+IN_COLS = 8   # packed kernel input: [pts(3) | dirs(3) | pad(2)]
 
 
 def _pad_to(x: np.ndarray | jnp.ndarray, rows: int, cols: int):
     r, c = x.shape
     return jnp.pad(x, ((0, rows - r), (0, cols - c)))
+
+
+def _embedding_constants(cfg: FieldConfig):
+    """Constants for the in-kernel positional encoding.
+
+    Returns (E (IN_COLS, LANE), phase (1, LANE), id_mask (1, LANE)) such
+    that with t = x_in @ E the reference embedding layout
+    [x, sin(f0 x), cos(f0 x), sin(f1 x), ...] (positional_embedder.py:
+    24-44; ops/embedding.py) is  where(id_mask, t, sin(t + phase)).
+    Zero columns give sin(0) = 0 — identical to v1's zero padding.
+    """
+    from ibl_nerf_tpu.ops.embedding import frequency_bands
+
+    E = np.zeros((IN_COLS, LANE), np.float32)
+    phase = np.zeros((1, LANE), np.float32)
+    id_mask = np.zeros((1, LANE), np.float32)
+
+    def fill(row0, n_freqs, col0):
+        col = col0
+        for i in range(3):  # include_input
+            E[row0 + i, col + i] = 1.0
+            id_mask[0, col + i] = 1.0
+        col += 3
+        for f in frequency_bands(n_freqs):
+            for trig in range(2):  # sin block then cos block
+                for i in range(3):
+                    E[row0 + i, col] = f
+                    phase[0, col] = trig * np.pi / 2.0
+                    col += 1
+        return col
+
+    col = fill(0, cfg.multires, 0)
+    fill(3, cfg.multires_views, col)
+    return jnp.asarray(E), jnp.asarray(phase), jnp.asarray(id_mask)
 
 
 def pack_field_weights(params: dict, cfg: FieldConfig,
@@ -138,10 +182,19 @@ def pack_field_weights(params: dict, cfg: FieldConfig,
         if v.ndim == 1:
             packed[k] = v.reshape(1, -1)
 
-    return {k: v.astype(dtype) for k, v in packed.items()}
+    packed = {k: v.astype(dtype) for k, v in packed.items()}
+
+    # In-kernel embedding constants stay f32: sin(2^9 · x) needs more
+    # mantissa than bf16 carries.
+    E, phase, id_mask = _embedding_constants(cfg)
+    packed["emb_E"] = E
+    packed["emb_phase"] = phase
+    packed["emb_id"] = id_mask
+    return packed
 
 
-_WEIGHT_ORDER = ["w0", "w1", "w2", "w3", "w4", "w5x", "w5h", "w6", "w7",
+_WEIGHT_ORDER = ["emb_E", "emb_phase", "emb_id",
+                 "w0", "w1", "w2", "w3", "w4", "w5x", "w5h", "w6", "w7",
                  "tb", "wpf", "bpf", "wfeat", "bfeat", "wv_f", "wv_d", "bv",
                  "wcf", "bcf", "A", "B", "C", "D", "bias"]
 
@@ -153,33 +206,46 @@ def _mm(a, b):
 def _field_kernel(x_ref, *refs, density_only: bool):
     w = dict(zip(_WEIGHT_ORDER, [r[...] for r in refs[:-1]]))
     out_ref = refs[-1]
-    x = x_ref[...]
-    dt = x.dtype
-
+    dt = w["w0"].dtype
     relu = lambda v: jnp.maximum(v, 0.0)
-
     tb = w["tb"]
-    h = relu(_mm(x, w["w0"]) + tb[0]).astype(dt)
+    half = TILE // NSPLIT
+
+    # NSPLIT independent dependency chains; the scheduler interleaves
+    # one chain's VPU epilogue with the other's MXU matmul.
+    xs = []
+    for s in range(NSPLIT):
+        # In-kernel positional encoding (f32): one (half, 8)x(8, 128)
+        # matmul then a masked sin; identity columns pass t through,
+        # zero columns give sin(0)=0 (the lane padding).
+        t = jnp.dot(x_ref[s * half:(s + 1) * half], w["emb_E"],
+                    preferred_element_type=jnp.float32)
+        xs.append(jnp.where(w["emb_id"] > 0.0, t,
+                            jnp.sin(t + w["emb_phase"])).astype(dt))
+
+    hs = [relu(_mm(x, w["w0"]) + tb[0]).astype(dt) for x in xs]
     for i in (1, 2, 3, 4):
-        h = relu(_mm(h, w[f"w{i}"]) + tb[i]).astype(dt)
+        hs = [relu(_mm(h, w[f"w{i}"]) + tb[i]).astype(dt) for h in hs]
     # skip: layer 5 reads [pts_emb | h]
-    h = relu(_mm(x, w["w5x"]) + _mm(h, w["w5h"]) + tb[5]).astype(dt)
+    hs = [relu(_mm(x, w["w5x"]) + _mm(h, w["w5h"]) + tb[5]).astype(dt)
+          for x, h in zip(xs, hs)]
     for i in (6, 7):
-        h = relu(_mm(h, w[f"w{i}"]) + tb[i]).astype(dt)
+        hs = [relu(_mm(h, w[f"w{i}"]) + tb[i]).astype(dt) for h in hs]
 
-    if density_only:
-        out = _mm(h, w["A"]) + w["bias"].astype(jnp.float32)
-        out_ref[...] = out.astype(out_ref.dtype)
-        return
-
-    pos_feat = relu(_mm(h, w["wpf"]) + w["bpf"]).astype(dt)
-    feature = (_mm(h, w["wfeat"]) + w["bfeat"]).astype(dt)
-    h2 = relu(_mm(feature, w["wv_f"]) + _mm(x, w["wv_d"]) + w["bv"]).astype(dt)
-    view_feat = relu(_mm(h2, w["wcf"]) + w["bcf"]).astype(dt)
-
-    out = (_mm(h, w["A"]) + _mm(pos_feat, w["B"]) + _mm(h2, w["C"])
-           + _mm(view_feat, w["D"]) + w["bias"].astype(jnp.float32))
-    out_ref[...] = out.astype(out_ref.dtype)
+    bias = w["bias"].astype(jnp.float32)
+    for s in range(NSPLIT):
+        h, x = hs[s], xs[s]
+        if density_only:
+            out = _mm(h, w["A"]) + bias
+        else:
+            pos_feat = relu(_mm(h, w["wpf"]) + w["bpf"]).astype(dt)
+            feature = (_mm(h, w["wfeat"]) + w["bfeat"]).astype(dt)
+            h2 = relu(_mm(feature, w["wv_f"]) + _mm(x, w["wv_d"])
+                      + w["bv"]).astype(dt)
+            view_feat = relu(_mm(h2, w["wcf"]) + w["bcf"]).astype(dt)
+            out = (_mm(h, w["A"]) + _mm(pos_feat, w["B"]) + _mm(h2, w["C"])
+                   + _mm(view_feat, w["D"]) + bias)
+        out_ref[s * half:(s + 1) * half] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("density_only", "interpret"))
@@ -195,7 +261,7 @@ def _fused_call(x_padded, weights_list, density_only: bool,
     return pl.pallas_call(
         functools.partial(_field_kernel, density_only=density_only),
         grid=grid,
-        in_specs=[pl.BlockSpec((TILE, LANE), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE, IN_COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
         out_specs=pl.BlockSpec((TILE, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -204,22 +270,23 @@ def _fused_call(x_padded, weights_list, density_only: bool,
     )(x_padded, *weights_list)
 
 
-def _embed_and_pad(pts, dirs, cfg: FieldConfig, dtype):
-    from ibl_nerf_tpu.ops.embedding import positional_encoding
+def _pack_inputs(pts, dirs):
+    """(N, 8) f32 kernel input [pts | dirs | 0-pad]; N padded to TILE.
 
-    pe = positional_encoding(pts, cfg.multires)
-    feats = [pe]
-    used = cfg.input_ch
-    if dirs is not None:
-        de = positional_encoding(dirs, cfg.multires_views)
-        de = jnp.broadcast_to(de[..., None, :],
-                              (*pts.shape[:-1], de.shape[-1]))
-        feats.append(de)
-        used += cfg.input_ch_views
-    x = jnp.concatenate(feats, axis=-1)
-    x = x.reshape(-1, used)
-    x = jnp.pad(x, ((0, (-x.shape[0]) % TILE), (0, LANE - used)))
-    return x.astype(dtype)
+    The embedding itself happens in-kernel — this is the only
+    XLA-materialized activation on the fused path (32 B/point)."""
+    flat_pts = pts.reshape(-1, 3)
+    if dirs is None:
+        flat_dirs = jnp.zeros_like(flat_pts)
+    else:
+        flat_dirs = jnp.broadcast_to(
+            dirs[..., None, :], pts.shape).reshape(-1, 3)
+    x = jnp.concatenate(
+        [flat_pts, flat_dirs,
+         jnp.zeros((flat_pts.shape[0], IN_COLS - 6), flat_pts.dtype)],
+        axis=-1)
+    x = jnp.pad(x, ((0, (-x.shape[0]) % TILE), (0, 0)))
+    return x.astype(jnp.float32)
 
 
 def _auto_interpret(interpret):
@@ -237,8 +304,7 @@ def fused_field_apply(packed: dict, pts: jnp.ndarray, dirs: jnp.ndarray,
     interpreter mode off-TPU (CPU tests).
     """
     interpret = _auto_interpret(interpret)
-    dtype = packed["w0"].dtype
-    x = _embed_and_pad(pts, dirs, cfg, dtype)
+    x = _pack_inputs(pts, dirs)
     n_pts = int(np.prod(pts.shape[:-1]))
     out = _fused_call(x, [packed[k] for k in _WEIGHT_ORDER],
                       density_only=False, interpret=interpret)
@@ -250,8 +316,7 @@ def fused_field_density(packed: dict, pts: jnp.ndarray, cfg: FieldConfig,
                         interpret: bool | None = None):
     """Density-only query via the fused kernel: (..., 3) -> (..., 1)."""
     interpret = _auto_interpret(interpret)
-    dtype = packed["w0"].dtype
-    x = _embed_and_pad(pts, None, cfg, dtype)
+    x = _pack_inputs(pts, None)
     n_pts = int(np.prod(pts.shape[:-1]))
     out = _fused_call(x, [packed[k] for k in _WEIGHT_ORDER],
                       density_only=True, interpret=interpret)

@@ -70,6 +70,17 @@ class RenderConfig:
     use_radiance_linear: bool = False
     gamma_correct: bool = False
 
+    # shading estimator under approximate_radiance:
+    #  - "split_sum": the reference's live path (BRDF LUT + prefiltered
+    #    radiance mips along one reflected ray);
+    #  - "monte_carlo": full GGX microfacet Monte-Carlo integration over
+    #    mc_samples_axis^2 low-discrepancy hemisphere directions, each
+    #    marched through the field (the reference ships Microfacet +
+    #    hemisphere samplers for this but never wires them into
+    #    raw2outputs; here it is a live branch).
+    shading_mode: str = "split_sum"  # "split_sum" | "monte_carlo"
+    mc_samples_axis: int = 3
+
     # split-sum shading
     approximate_radiance: bool = False
     normal_type: str = "ground_truth"

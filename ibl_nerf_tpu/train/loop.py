@@ -78,6 +78,8 @@ def render_config_from_args(args, fcfg: FieldConfig) -> RenderConfig:
         raw_noise_std=args.raw_noise_std,
         use_radiance_linear=args.use_radiance_linear,
         gamma_correct=args.gamma_correct,
+        shading_mode=args.shading_mode,
+        mc_samples_axis=args.mc_samples_axis,
         normal_type=args.calculating_normal_type,
         epsilon=args.epsilon_for_numerical_normal,
         epsilon_direction=args.epsilon_direction_for_numerical_normal,
