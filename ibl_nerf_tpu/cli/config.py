@@ -268,7 +268,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     # TPU-native additions
     add("--compute_dtype", type=str, default="float32",
-        help="float32 | bfloat16 (MXU fast path)")
+        help="float32 | bfloat16 (MXU fast path) | mixed (f32 grads, "
+             "bf16 no-grad sweeps) | bf16_grad (bf16 grads, f32 sweeps)")
     add("--mesh_devices", type=int, default=0,
         help="0 = all local devices; N = first N")
     add("--debug_nans", action="store_true",

@@ -112,7 +112,9 @@ class RenderConfig:
     edit: EditConfig | None = None
 
     # numerics / kernels
-    compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU fast path)
+    # "float32" | "bfloat16" | "mixed" | "bf16_grad" — see
+    # renderer._make_queries for the exact split
+    compute_dtype: str = "float32"
     use_pallas: bool = False        # fused-field kernel on no-grad sweeps
 
     def replace(self, **kw) -> "RenderConfig":

@@ -72,10 +72,14 @@ def _make_queries(field_params, rcfg: RenderConfig):
       "bfloat16" — all MLP matmuls on the bf16 MXU path (f32 raw out);
       "mixed"    — gradient path f32, no-grad sweeps (ε-normals +
                    reflected march, ~60% of FLOPs) bf16: throughput
-                   without touching gradient precision.
+                   without touching gradient precision;
+      "bf16_grad" — the inverse split: gradient path bf16 (fast
+                   fwd+bwd), no-grad sweeps f32 (exact ε-normal depth
+                   differences + reflected radiance).
     """
     fcfg = rcfg.field
-    dt_grad = (jnp.bfloat16 if rcfg.compute_dtype == "bfloat16"
+    dt_grad = (jnp.bfloat16
+               if rcfg.compute_dtype in ("bfloat16", "bf16_grad")
                else jnp.float32)
     dt_ng = (jnp.bfloat16 if rcfg.compute_dtype in ("bfloat16", "mixed")
              else jnp.float32)

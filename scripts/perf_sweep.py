@@ -21,7 +21,8 @@ N_RAND = 512
 WARMUP = 3
 ITERS = 20
 
-DTYPES = {"f32": "float32", "bf16": "bfloat16", "mixed": "mixed"}
+DTYPES = {"f32": "float32", "bf16": "bfloat16", "mixed": "mixed",
+          "bf16_grad": "bf16_grad"}
 
 
 def build(compute_dtype: str, use_pallas: bool):
