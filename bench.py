@@ -16,6 +16,8 @@ on its RTX 3090 (nerf-pytorch lineage at this per-ray workload runs
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -29,7 +31,8 @@ WARMUP = 3
 ITERS = 20
 
 
-def main():
+def main(compute_dtype: str | None = None):
+    compute_dtype = compute_dtype or "float32"
     # persistent compile cache: repeat runs skip the ~1-3 min XLA compile
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -48,9 +51,7 @@ def main():
         field=fcfg, n_samples=64, n_importance=128, perturb=True,
         normal_type="normal_map_from_depth_gradient_epsilon",
         correct_depth_for_prefiltered_radiance_infer=True,
-        # f32: quality-parity configuration (bf16 is +25% throughput but
-        # ~1.7dB PSNR at 3k iters on the analytic scene — see CLAUDE.md)
-        compute_dtype="float32",
+        compute_dtype=compute_dtype,
     )
     # phase B (post-10k): approximated radiance on — the steady-state cost.
     lcfg = LossConfig(
@@ -107,10 +108,11 @@ def main():
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
-        "unit": "rays/s (fwd+bwd, full IBL workload, 1 chip)",
+        "unit": f"rays/s (fwd+bwd, full IBL workload, 1 chip, {compute_dtype})",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1
+         else os.environ.get("BENCH_DTYPE"))
