@@ -105,6 +105,9 @@ def _dense(p, x):
 
 
 def _trunk(params: Params, pts_emb: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:
+    # Keeping the skip as a real concat: the split-matmul form
+    # (pts_emb @ W[:in] + h @ W[in:]) measured +0.3 ms on the f32
+    # backward and nothing on bf16 — XLA fuses this concat fine.
     h = pts_emb
     for i, layer in enumerate(params["trunk"]):
         h = jax.nn.relu(_dense(layer, h))
@@ -113,36 +116,92 @@ def _trunk(params: Params, pts_emb: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarra
     return h
 
 
-def _packed_half_heads(params: Params, h: jnp.ndarray, cfg: FieldConfig):
-    """Fused evaluation of all W//2-wide feature heads.
-
-    Packs albedo_feat / irradiance_feat (position branch) — the K coarse
-    feature heads are packed separately because they read the view branch.
-    Returns (albedo_raw(3), irradiance_raw(1)).
-    """
+def _pos_features(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """Fused position-branch feature heads: (N, 2·half) =
+    relu(h @ [albedo_feat | irradiance_feat])."""
     wf = jnp.concatenate(
         [params["albedo_feat"]["w"], params["irradiance_feat"]["w"]], axis=1)
     bf = jnp.concatenate(
         [params["albedo_feat"]["b"], params["irradiance_feat"]["b"]], axis=0)
-    feats = jax.nn.relu(h @ wf + bf)
-    half = params["albedo_feat"]["w"].shape[1]
-    albedo = _dense(params["albedo"], feats[..., :half])
-    irradiance = _dense(params["irradiance"], feats[..., half:])
-    return albedo, irradiance
+    return jax.nn.relu(h @ wf + bf)
 
 
-def _coarse_heads(params: Params, h2: jnp.ndarray) -> list[jnp.ndarray]:
-    """Fused K coarse-radiance heads from the view-branch features."""
+def _coarse_features(params: Params, h2: jnp.ndarray) -> jnp.ndarray | None:
+    """Fused K coarse-radiance feature heads: (N, K·half)."""
     if not params["coarse_feat"]:
-        return []
+        return None
     wf = jnp.concatenate([p["w"] for p in params["coarse_feat"]], axis=1)
     bf = jnp.concatenate([p["b"] for p in params["coarse_feat"]], axis=0)
-    feats = jax.nn.relu(h2 @ wf + bf)
-    half = params["coarse_feat"][0]["w"].shape[1]
-    outs = []
-    for i, p in enumerate(params["coarse"]):
-        outs.append(_dense(p, feats[..., i * half:(i + 1) * half]))
-    return outs
+    return jax.nn.relu(h2 @ wf + bf)
+
+
+def _zeros_like_cols(w: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.zeros((w.shape[0], n), w.dtype)
+
+
+def _assembly_matrices(params: Params, cfg: FieldConfig,
+                       freeze_radiance: bool, freeze_roughness: bool):
+    """Column-packed output projections.
+
+    The raw output layout [σ, albedo3, ρ, irrad, rad3, coarse3K] is
+    produced as  h@A + pos_feat@B + h2@C + view_feat@D + bias  — four
+    lane-wide matmuls instead of ~8 (N, 1..3)-column head matmuls plus
+    a minor-dim concat, which dominate the full-head query cost on TPU
+    (the MLP itself is MXU-bound; the tiny heads are layout-bound).
+
+    Freeze semantics (reference forward_freezed, ibl_nerf.py:88-152)
+    become column-wise stop_gradient on the packed weights: a stopped
+    column with a stopped input reproduces "computed under no_grad"
+    exactly — including h2: its matmul input must ALSO be stopped by
+    the caller so no cotangent reaches the view branch.
+    """
+    stop = jax.lax.stop_gradient
+    K = cfg.coarse_radiance_number
+    n_out = 9 + 3 * K
+    half = params["albedo_feat"]["w"].shape[1]
+
+    s_sig = stop if freeze_radiance else (lambda x: x)
+    s_rough = stop if (freeze_radiance and freeze_roughness) else (lambda x: x)
+    s_rad = stop if freeze_radiance else (lambda x: x)
+
+    w_sig = s_sig(params["sigma"]["w"])
+    w_rough = s_rough(params["roughness"]["w"])
+    A = jnp.concatenate(
+        [w_sig, _zeros_like_cols(w_sig, 3), w_rough,
+         _zeros_like_cols(w_sig, 4 + 3 * K)], axis=1)
+
+    w_alb = params["albedo"]["w"]
+    w_irr = params["irradiance"]["w"]
+    B_top = jnp.concatenate(
+        [_zeros_like_cols(w_alb, 1), w_alb,
+         _zeros_like_cols(w_alb, 5 + 3 * K)], axis=1)
+    B_bot = jnp.concatenate(
+        [_zeros_like_cols(w_irr, 5), w_irr,
+         _zeros_like_cols(w_irr, 3 + 3 * K)], axis=1)
+    B = jnp.concatenate([B_top, B_bot], axis=0)
+
+    w_rad = s_rad(params["radiance"]["w"])
+    C = jnp.concatenate(
+        [_zeros_like_cols(w_rad, 6), w_rad,
+         _zeros_like_cols(w_rad, 3 * K)], axis=1)
+
+    D = None
+    if K:
+        rows = []
+        for k, p in enumerate(params["coarse"]):
+            w_k = s_rad(p["w"])  # (half, 3)
+            rows.append(jnp.concatenate(
+                [_zeros_like_cols(w_k, 9 + 3 * k), w_k,
+                 _zeros_like_cols(w_k, 3 * (K - k - 1))], axis=1))
+        D = jnp.concatenate(rows, axis=0)  # (K*half, n_out)
+
+    bias = jnp.concatenate(
+        [s_sig(params["sigma"]["b"]), params["albedo"]["b"],
+         s_rough(params["roughness"]["b"]), params["irradiance"]["b"],
+         s_rad(params["radiance"]["b"])]
+        + [s_rad(p["b"]) for p in params["coarse"]], axis=0)
+    assert bias.shape[0] == n_out
+    return A, B, C, D, bias
 
 
 def apply_field_density(params: Params, pts_emb: jnp.ndarray,
@@ -174,34 +233,39 @@ def apply_field(
     (ibl_nerf.py:88-152): trunk+sigma no-grad; albedo/irradiance heads get
     grads to their own head params only; roughness optionally fully
     frozen; radiance + view branch + coarse heads no-grad.
+
+    TPU shape discipline: the output is assembled as four column-packed
+    matmuls (see _assembly_matrices) and the skip/view concats are split
+    matmuls — no (N, small) activations anywhere on the hot path.
     """
+    stop = jax.lax.stop_gradient
+    W = params["feature"]["w"].shape[0]
     h = _trunk(params, pts_emb, cfg)
-    if freeze_radiance:
-        h_heads = jax.lax.stop_gradient(h)
-        sigma = jax.lax.stop_gradient(_dense(params["sigma"], h_heads))
-    else:
-        h_heads = h
-        sigma = _dense(params["sigma"], h_heads)
+    h_heads = stop(h) if freeze_radiance else h
 
-    albedo, irradiance = _packed_half_heads(params, h_heads, cfg)
-    roughness = _dense(params["roughness"], h_heads)
-    if freeze_radiance and freeze_roughness:
-        roughness = jax.lax.stop_gradient(roughness)
+    pos_feat = _pos_features(params, h_heads)
 
-    # View branch.
+    # View branch; concat([feature, dirs_emb]) @ W -> split matmul.
     if cfg.color_independent_to_direction:
         h2 = h_heads
     else:
         feat = _dense(params["feature"], h_heads)
-        h2 = jnp.concatenate([feat, dirs_emb], axis=-1)
-        for layer in params["views"]:
+        vw, vb = params["views"][0]["w"], params["views"][0]["b"]
+        h2 = jax.nn.relu(feat @ vw[:W] + dirs_emb @ vw[W:] + vb)
+        for layer in params["views"][1:]:
             h2 = jax.nn.relu(_dense(layer, h2))
 
-    radiance = _dense(params["radiance"], h2)
-    coarse = _coarse_heads(params, h2)
-    if freeze_radiance:
-        radiance = jax.lax.stop_gradient(radiance)
-        coarse = [jax.lax.stop_gradient(c) for c in coarse]
+    view_feat = _coarse_features(params, h2)
 
-    return jnp.concatenate([sigma, albedo, roughness, irradiance, radiance] + coarse,
-                           axis=-1)
+    A, B, C, D, bias = _assembly_matrices(
+        params, cfg, freeze_radiance, freeze_roughness)
+
+    # Under freeze the radiance/coarse columns must be dead ends for the
+    # view branch too: stop the matmul inputs so no cotangent reaches
+    # feature/views/coarse_feat params (parity with no_grad).
+    h2_in = stop(h2) if freeze_radiance else h2
+    raw = h_heads @ A + pos_feat @ B + h2_in @ C + bias
+    if view_feat is not None:
+        vf_in = stop(view_feat) if freeze_radiance else view_feat
+        raw = raw + vf_in @ D
+    return raw

@@ -25,7 +25,7 @@ DTYPES = {"f32": "float32", "bf16": "bfloat16", "mixed": "mixed",
           "bf16_grad": "bf16_grad"}
 
 
-def build(compute_dtype: str, use_pallas: bool):
+def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000):
     from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
     from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
     from ibl_nerf_tpu.render import RenderConfig
@@ -45,7 +45,7 @@ def build(compute_dtype: str, use_pallas: bool):
         n_iter_ignore_prior=100000,
         beta_prior_albedo=1.0, beta_irradiance_reg=0.1,
         coarse_radiance_number=3)
-    phase = resolve_phase(50000, lcfg)
+    phase = resolve_phase(phase_iter, lcfg)
 
     k1, k2 = jax.random.split(jax.random.key(0))
     variables = {"coarse": init_field_params(k1, fcfg),
@@ -76,8 +76,13 @@ def build(compute_dtype: str, use_pallas: bool):
 
 
 def time_variant(name: str):
-    dt_key, _, pallas = name.partition(":")
-    step_fn, state, arrays = build(DTYPES[dt_key], pallas == "pallas")
+    # variant syntax: <dtype>[:pallas][@phase_iter], e.g. f32@5000
+    # (phase A: no approximate_radiance -> no ε-sweeps/reflected march)
+    name2, _, phase_s = name.partition("@")
+    phase_iter = int(phase_s) if phase_s else 50000
+    dt_key, _, pallas = name2.partition(":")
+    step_fn, state, arrays = build(DTYPES[dt_key], pallas == "pallas",
+                                   phase_iter)
     keys = jax.random.split(jax.random.key(7), WARMUP + ITERS)
     t_c0 = time.perf_counter()
     for i in range(WARMUP):
