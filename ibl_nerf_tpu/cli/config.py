@@ -272,6 +272,13 @@ def build_parser() -> argparse.ArgumentParser:
              "bf16 no-grad sweeps) | bf16_grad (bf16 grads, f32 sweeps)")
     add("--mesh_devices", type=int, default=0,
         help="0 = all local devices; N = first N")
+    add("--coordinator_address", type=str, default=None,
+        help="jax.distributed coordinator host:port (multi-host runs)")
+    add("--num_processes", type=int, default=0,
+        help=">1 joins a multi-host run (requires --process_id; "
+             "data is sharded by host, rays by device)")
+    add("--process_id", type=int, default=-1,
+        help="this process's index in a multi-host run")
     add("--debug_nans", action="store_true",
         help="enable jax_debug_nans (TPU-native analogue of the "
              "reference's autograd anomaly mode + NaN output scans)")

@@ -14,7 +14,15 @@ from ibl_nerf_tpu.train.loop import train
 
 def main(argv=None):
     args = parse_with_includes(argv)
-    export_config(args, args.basedir)
+    if getattr(args, "num_processes", 0) and args.num_processes > 1:
+        from ibl_nerf_tpu.parallel import distributed as dist
+
+        pid, _ = dist.initialize(args.coordinator_address,
+                                 args.num_processes, args.process_id)
+        if pid == 0:
+            export_config(args, args.basedir)
+    else:
+        export_config(args, args.basedir)
     train(args)
 
 

@@ -23,23 +23,34 @@ import numpy as np
 from ibl_nerf_tpu.ops.rays import get_rays_for_pixels, neighbor_coords
 
 
+def _collect_scene_arrays(scene, include, convert):
+    arrays: dict[str, Any] = {
+        "images": convert(scene.images),
+        "poses": convert(scene.poses),
+        "K": convert(scene.focal_matrix()),
+    }
+    if scene.prefiltered_images is not None:
+        arrays["prefiltered_images"] = convert(scene.prefiltered_images)
+    buffers = scene.gt_buffers()
+    for k in include:
+        if k in buffers:
+            arrays[k] = convert(buffers[k])
+    return arrays
+
+
 def device_arrays_from_scene(scene, include: tuple[str, ...] = ()) -> dict[str, Any]:
     """Pack the SceneData buffers we sample from into a device dict.
 
     include: extra gt buffer names to ship (from scene.gt_buffers()).
     """
-    arrays: dict[str, Any] = {
-        "images": jnp.asarray(scene.images),
-        "poses": jnp.asarray(scene.poses),
-        "K": jnp.asarray(scene.focal_matrix()),
-    }
-    if scene.prefiltered_images is not None:
-        arrays["prefiltered_images"] = jnp.asarray(scene.prefiltered_images)
-    buffers = scene.gt_buffers()
-    for k in include:
-        if k in buffers:
-            arrays[k] = jnp.asarray(buffers[k])
-    return arrays
+    return _collect_scene_arrays(scene, include, jnp.asarray)
+
+
+def host_arrays_from_scene(scene, include: tuple[str, ...] = ()) -> dict[str, Any]:
+    """Numpy variant: the multi-host data path keeps the full dataset
+    host-side and ships only each host's image shard
+    (parallel/distributed.HostShardedSampler)."""
+    return _collect_scene_arrays(scene, include, np.asarray)
 
 
 def sample_pixel_batch(

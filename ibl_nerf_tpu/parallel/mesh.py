@@ -16,18 +16,19 @@ and are embarrassingly parallel over rays; the only collective is the
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
-import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ibl_nerf_tpu.data.sampler import sample_pixel_batch
-from ibl_nerf_tpu.render.renderer import make_ray_batch, render_rays
-from ibl_nerf_tpu.train.losses import compute_losses
-from ibl_nerf_tpu.train.step import TrainState
+from ibl_nerf_tpu.render.renderer import render_rays
+from ibl_nerf_tpu.train.step import (
+    TrainState,
+    loss_from_batch,
+    make_optimizer_step,
+    phase_render_config,
+)
 
 
 def make_mesh(devices=None, axis: str = "rays") -> Mesh:
@@ -60,14 +61,16 @@ def make_sharded_train_step(
     n_dev = mesh.devices.size
     assert batch_size % n_dev == 0, (batch_size, n_dev)
 
-    rcfg_phase = rcfg.replace(
-        approximate_radiance=phase.approximate_radiance,
-        freeze_radiance=phase.freeze_radiance,
-        freeze_roughness=phase.freeze_roughness,
-    )
+    rcfg_phase = phase_render_config(rcfg, phase)
 
     repl = replicate(mesh)
     rays_sh = shard_rays(mesh)
+
+    # truncate to N_depth_random_volume rays (parity reference
+    # train.py:368), keeping divisibility by the mesh
+    n_vol = min(n_depth_random_volume, batch_size)
+    n_vol -= n_vol % n_dev
+    n_vol = max(n_vol, n_dev)
 
     def loss_fn(variables, key, arrays):
         k_sample, k_render, k_vol, k_vol_render = jax.random.split(key, 4)
@@ -81,54 +84,12 @@ def make_sharded_train_step(
         rays_d = jax.lax.with_sharding_constraint(rays_d, rays_sh)
         pixel_info = {k: jax.lax.with_sharding_constraint(v, rays_sh)
                       for k, v in pixel_info.items()}
-        batch = make_ray_batch(rays_o, rays_d, near, far)
-        result = render_rays(k_render, variables, consts, batch, rcfg_phase,
-                             gt_values=pixel_info)
+        return loss_from_batch(
+            variables, (k_render, k_vol, k_vol_render), consts, pixel_info,
+            rays_o, rays_d, rcfg_phase, lcfg, phase, prior_irradiance_mean,
+            near, far, n_vol)
 
-        # Depth-distillation random-volume pass (chip-local: volume rays
-        # derive from local primary rays — no resharding).
-        depth_volume_result = None
-        if phase.depth_loss_on and "normal" in pixel_info:
-            normal_map = pixel_info["normal"] * 2.0 - 1.0
-            normal_map = normal_map / jnp.maximum(
-                jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12)
-            x_surface = jax.lax.stop_gradient(
-                rays_o + rays_d * result["depth_map"][..., None])
-            rand_dir = 2.0 * jax.random.uniform(k_vol, rays_d.shape) - 1.0
-            sign = jnp.sign(jnp.sum(rand_dir * normal_map, -1))[..., None]
-            rand_dir = sign * rand_dir
-            rand_dir = rand_dir / jnp.maximum(
-                jnp.linalg.norm(rand_dir, axis=-1, keepdims=True), 1e-12)
-            # truncate to N_depth_random_volume rays (parity step.py /
-            # reference train.py:368), keeping divisibility by the mesh
-            n_vol = min(n_depth_random_volume, batch_size)
-            n_vol -= n_vol % mesh.devices.size
-            n_vol = max(n_vol, mesh.devices.size)
-            vol_batch = make_ray_batch(x_surface[:n_vol], rand_dir[:n_vol],
-                                       near, far)
-            depth_volume_result = render_rays(
-                k_vol_render, variables, consts, vol_batch, rcfg_phase,
-                is_depth_only=True)
-            depth_volume_result["depth_map"] = jax.lax.stop_gradient(
-                depth_volume_result["depth_map"])
-
-        total, scalars = compute_losses(
-            result, pixel_info, lcfg, phase, prior_irradiance_mean, far,
-            depth_volume_result=depth_volume_result)
-        return total, scalars
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, key, arrays):
-        (_, scalars), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.variables, key, arrays)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.variables)
-        new_vars = optax.apply_updates(state.variables, updates)
-        return (
-            TrainState(variables=new_vars, opt_state=new_opt,
-                       step=state.step + 1),
-            scalars,
-        )
+    train_step = make_optimizer_step(optimizer)(loss_fn)
 
     def place_state(state: TrainState) -> TrainState:
         return jax.device_put(state, repl)

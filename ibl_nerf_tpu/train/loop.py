@@ -168,6 +168,18 @@ def init_variables(key, args, fcfg: FieldConfig) -> dict:
     return variables
 
 
+def _panelize(stack, max_images: int = 4):
+    """Image stack (N,H,W,C)/(N,H,W) -> clipped NHWC batch for the
+    tensorboard image panels (parity: reference train.py:140-154,
+    206-210)."""
+    x = np.asarray(stack[:max_images], dtype=np.float32)
+    if x.ndim == 3:
+        x = x[..., None]
+    if x.shape[-1] == 1:
+        x = np.repeat(x, 3, axis=-1)
+    return np.clip(x, 0.0, 1.0)
+
+
 def _load_params(args):
     return {
         "image_scale": args.image_scale,
@@ -185,6 +197,13 @@ def train(args):
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
         logger.info("jax_debug_nans enabled")
+
+    # Multi-host: cli.train already joined the distributed runtime; here
+    # we only need to know our coordinates. Non-main processes run the
+    # same compute but skip all filesystem/log output.
+    pid, pcount = jax.process_index(), jax.process_count()
+    is_main = pid == 0
+    use_dist = pcount > 1
 
     # (1) data
     t0 = time.time()
@@ -211,8 +230,9 @@ def train(args):
     # (2) logdir
     basedir, expname = args.basedir, args.expname
     logdir = os.path.join(basedir, expname)
-    os.makedirs(logdir, exist_ok=True)
-    writer = ScalarWriter(logdir)
+    if is_main:
+        os.makedirs(logdir, exist_ok=True)
+    writer = ScalarWriter(logdir) if is_main else None
 
     # (3) model + optimizer + restore
     fcfg = field_config_from_args(args)
@@ -237,10 +257,16 @@ def train(args):
 
     start = int(state.step) + 1
 
-    # (4) device-resident dataset
+    # (4) dataset: device-resident single-host; host-side (sharded by
+    # image across processes) in multi-host runs.
     include = ("normal", "albedo", "roughness", "depth", "prior_albedo",
                "prior_irradiance")
-    arrays = device_arrays_from_scene(scene, include=include)
+    if use_dist:
+        from ibl_nerf_tpu.data.sampler import host_arrays_from_scene
+
+        arrays = host_arrays_from_scene(scene, include=include)
+    else:
+        arrays = device_arrays_from_scene(scene, include=include)
 
     # (5) phase segmentation
     n_iters = args.N_iter + 1
@@ -264,19 +290,46 @@ def train(args):
     if boundaries[-1] != n_iters:
         boundaries.append(n_iters)
 
+    def _local_state_view():
+        """state with host-local leaves — in multi-host runs the live
+        state is globally replicated, and checkpointing / testset
+        rendering must not launch collective computations from one
+        process, so they work on a local numpy copy."""
+        if not use_dist:
+            return state
+        from ibl_nerf_tpu.parallel.distributed import fetch_replicated
+
+        return fetch_replicated(state)
+
     def save_ckpt(i):
-        path = ckpt_lib.save_checkpoint(logdir, i, state, elapsed_time)
-        logger.info("saved checkpoint %s", path)
+        # ALL processes must call save: orbax runs a cross-process sync
+        # inside (process 0 writes, the others participate in the
+        # barrier). State is passed as host-local numpy replicas.
+        path = ckpt_lib.save_checkpoint(logdir, i, _local_state_view(),
+                                        elapsed_time)
+        if is_main:
+            logger.info("saved checkpoint %s", path)
 
     def run_testset(i, export_video=False):
+        if not is_main:
+            return
         from ibl_nerf_tpu.eval.render_path import render_path
 
         testdir = os.path.join(logdir, f"testset_{i:06d}")
         rcfg_test = rcfg.replace(approximate_radiance=True)
-        results = render_path(state.variables, consts, scene_val, rcfg_test,
-                              savedir=testdir,
+        results = render_path(_local_state_view().variables, consts,
+                              scene_val, rcfg_test, savedir=testdir,
                               render_factor=args.render_factor)
         logger.info("saved test set to %s", testdir)
+        # TB image panels: one panel per inferred buffer at every
+        # testset dump (parity: reference train.py:206-210).
+        if writer is not None:
+            for name in ("rgb", "albedo", "roughness", "irradiance",
+                         "radiance", "target_normal_map", "depth",
+                         "specular", "diffuse"):
+                if name in results:
+                    writer.write_images(f"testset/{name}",
+                                        _panelize(results[name]), i)
         if export_video and "rgb" in results:
             from ibl_nerf_tpu.utils.video import export_stack_as_video
 
@@ -286,16 +339,36 @@ def train(args):
 
     # Multi-chip: --mesh_devices N>1 shards the ray batch over a 1-D
     # mesh (params replicate; XLA psums grads over ICI). Explicit opt-in
-    # so single-chip/CI behavior is unchanged.
+    # so single-chip/CI behavior is unchanged. Multi-host (use_dist):
+    # the mesh spans every process's devices, data is host-sharded, and
+    # each host samples its shard of every ray batch.
     n_dev = len(jax.devices())
     mesh_n = min(args.mesh_devices, n_dev)
     use_mesh = mesh_n > 1 and args.N_rand % mesh_n == 0
     mesh = None
-    if use_mesh:
+    if use_dist:
+        from ibl_nerf_tpu.parallel import distributed as dist_lib
+
+        use_mesh = False
+        mesh = dist_lib.global_mesh()
+        logger.info("multi-host: %d processes, %d devices; rays sharded "
+                    "over the global mesh, images sharded by host",
+                    pcount, mesh.devices.size)
+    elif use_mesh:
         from ibl_nerf_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(jax.devices()[:mesh_n])
         logger.info("sharding rays over %d devices", mesh_n)
+
+    if writer is not None and start <= 1:
+        # gt image panels at step 0 (parity: reference train.py:140-154)
+        writer.write_images("gt/rgb", _panelize(scene.images), 0)
+        if scene.prefiltered_images is not None:
+            for lv in range(scene.prefiltered_images.shape[0]):
+                writer.write_images(f"gt/rgb_prefiltered_{lv + 1}",
+                                    _panelize(scene.prefiltered_images[lv]), 0)
+        for name, buf in scene.gt_buffers().items():
+            writer.write_images(f"gt/{name}", _panelize(buf), 0)
 
     stop_training = False
     global_step = start
@@ -304,7 +377,22 @@ def train(args):
             continue
         phase = resolve_phase(seg_start, lcfg)
         precrop = seg_start < args.precrop_iters
-        if use_mesh:
+        if use_dist:
+            sampler = dist_lib.HostShardedSampler(
+                arrays, mesh, args.N_rand, scene.height, scene.width,
+                precrop=precrop, precrop_frac=args.precrop_frac,
+                merged=not args.no_batching)
+            gstep_fn, place_state = dist_lib.make_global_train_step(
+                rcfg, lcfg, phase, optimizer, consts, args.N_rand,
+                prior_irradiance_mean=scene.prior_irradiance_mean,
+                near=scene.near, far=scene.far, mesh=mesh,
+                n_depth_random_volume=args.N_depth_random_volume)
+            state = place_state(state)
+
+            def step_call(state, key, i, _fn=gstep_fn, _s=sampler):
+                pixel_info, rays_o, rays_d = _s.sample(i)
+                return _fn(state, key, pixel_info, rays_o, rays_d)
+        elif use_mesh:
             from ibl_nerf_tpu.parallel.mesh import make_sharded_train_step
 
             step_fn, place_state, place_arrays = make_sharded_train_step(
@@ -317,6 +405,9 @@ def train(args):
                 n_depth_random_volume=args.N_depth_random_volume)
             state = place_state(state)
             arrays = place_arrays(arrays)
+
+            def step_call(state, key, i, _fn=step_fn):
+                return _fn(state, key, arrays)
         else:
             step_fn = make_train_step(
                 rcfg, lcfg, phase, optimizer, consts,
@@ -326,19 +417,25 @@ def train(args):
                 precrop=precrop, precrop_frac=args.precrop_frac,
                 merged_sampling=not args.no_batching,
                 n_depth_random_volume=args.N_depth_random_volume)
+
+            def step_call(state, key, i, _fn=step_fn):
+                return _fn(state, key, arrays)
         logger.info("phase segment [%d, %d): %s", seg_start, seg_end, phase)
 
         for i in range(seg_start, seg_end):
             it_t0 = time.time()
             key = jax.random.fold_in(jax.random.key(42), i)
-            state, scalars = step_fn(state, key, arrays)
+            state, scalars = step_call(state, key, i)
 
             if i % args.summary_step == 0:
                 scalars = jax.device_get(scalars)
-                writer.write(i, {**{k: float(v) for k, v in scalars.items()},
-                                 "elapsed_time": elapsed_time})
-                logger.info("iter %d loss %.5f", i,
-                            float(scalars["loss_total"]))
+                if writer is not None:
+                    writer.write(
+                        i, {**{k: float(v) for k, v in scalars.items()},
+                            "elapsed_time": elapsed_time})
+                if is_main:
+                    logger.info("iter %d loss %.5f", i,
+                                float(scalars["loss_total"]))
 
             elapsed_time += time.time() - it_t0
             global_step = i
@@ -355,8 +452,11 @@ def train(args):
             if i % args.i_testset == 0 and i > 0:
                 run_testset(i, export_video=(i % args.i_video == 0))
 
-    with open(os.path.join(logdir, "train_info_step_time.json"), "w") as f:
-        json.dump({"training_time": elapsed_time,
-                   "global_step": global_step}, f, indent=4)
-    writer.close()
+    if is_main:
+        with open(os.path.join(logdir, "train_info_step_time.json"),
+                  "w") as f:
+            json.dump({"training_time": elapsed_time,
+                       "global_step": global_step}, f, indent=4)
+    if writer is not None:
+        writer.close()
     return state

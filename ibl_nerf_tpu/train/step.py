@@ -97,6 +97,80 @@ def init_train_state(variables: dict, optimizer, step: int = 0) -> TrainState:
     )
 
 
+def loss_from_batch(variables, keys, consts, pixel_info, rays_o, rays_d,
+                    rcfg_phase: RenderConfig, lcfg: LossConfig, phase: Phase,
+                    prior_irradiance_mean: float, near, far, n_vol: int):
+    """Render + depth-distillation volume pass + loss for an
+    already-sampled pixel batch. Shared by the single-chip, sharded, and
+    multi-host train steps (parity: the loss assembly of the reference
+    hot loop, /root/reference/src/train.py:286-441).
+
+    keys: (k_render, k_vol, k_vol_render).
+    n_vol: depth random-volume ray count (already rounded for mesh
+    divisibility by the caller; parity train.py:368).
+    """
+    k_render, k_vol, k_vol_render = keys
+    batch = make_ray_batch(rays_o, rays_d, near, far)
+    result = render_rays(k_render, variables, consts, batch, rcfg_phase,
+                         gt_values=pixel_info)
+
+    # Depth distillation random-volume pass (NeRV-style; parity:
+    # train.py:347-381): rays from the detached expected surface points
+    # along random normal-aligned directions, depth-only. Chip-local
+    # under a mesh: volume rays derive from local primary rays.
+    depth_volume_result = None
+    if phase.depth_loss_on and "normal" in pixel_info:
+        normal_map = pixel_info["normal"] * 2.0 - 1.0
+        normal_map = normal_map / jnp.maximum(
+            jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12)
+        x_surface = jax.lax.stop_gradient(
+            rays_o + rays_d * result["depth_map"][..., None])
+        rand_dir = 2.0 * jax.random.uniform(k_vol, rays_d.shape) - 1.0
+        sign = jnp.sign(jnp.sum(rand_dir * normal_map, -1))[..., None]
+        rand_dir = sign * rand_dir
+        rand_dir = rand_dir / jnp.maximum(
+            jnp.linalg.norm(rand_dir, axis=-1, keepdims=True), 1e-12)
+        vol_batch = make_ray_batch(x_surface[:n_vol], rand_dir[:n_vol],
+                                   near, far)
+        depth_volume_result = render_rays(
+            k_vol_render, variables, consts, vol_batch, rcfg_phase,
+            is_depth_only=True)
+        depth_volume_result["depth_map"] = jax.lax.stop_gradient(
+            depth_volume_result["depth_map"])
+
+    return compute_losses(
+        result, pixel_info, lcfg, phase, prior_irradiance_mean, far,
+        depth_volume_result=depth_volume_result)
+
+
+def phase_render_config(rcfg: RenderConfig, phase: Phase) -> RenderConfig:
+    """Specialize the render config to a training phase."""
+    return rcfg.replace(
+        approximate_radiance=phase.approximate_radiance,
+        freeze_radiance=phase.freeze_radiance,
+        freeze_roughness=phase.freeze_roughness,
+    )
+
+
+def make_optimizer_step(optimizer, donate: bool = True):
+    """Wrap a loss_fn(variables, key, *batch) into a jitted Adam step."""
+    def build(loss_fn):
+        @partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def train_step(state: TrainState, key, *batch_args):
+            (_, scalars), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.variables, key, *batch_args)
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.variables)
+            new_vars = optax.apply_updates(state.variables, updates)
+            return (
+                TrainState(variables=new_vars, opt_state=new_opt,
+                           step=state.step + 1),
+                scalars,
+            )
+        return train_step
+    return build
+
+
 def make_train_step(
     rcfg: RenderConfig,
     lcfg: LossConfig,
@@ -120,11 +194,7 @@ def make_train_step(
     The render config is specialized to the phase (approximate_radiance,
     freezing); one compiled program per phase.
     """
-    rcfg_phase = rcfg.replace(
-        approximate_radiance=phase.approximate_radiance,
-        freeze_radiance=phase.freeze_radiance,
-        freeze_roughness=phase.freeze_roughness,
-    )
+    rcfg_phase = phase_render_config(rcfg, phase)
 
     if phase.normal_loss_on and not phase.approximate_radiance:
         from ibl_nerf_tpu.utils.logging import load_logger
@@ -135,57 +205,17 @@ def make_train_step(
             "is 0 until step %d",
             lcfg.n_iter_ignore_approximated_radiance)
 
+    n_vol = min(n_depth_random_volume, batch_size)
+
     def loss_fn(variables, key, arrays):
         k_sample, k_render, k_vol, k_vol_render = jax.random.split(key, 4)
         pixel_info, rays_o, rays_d, _, _, _ = sample_pixel_batch(
             k_sample, arrays, batch_size, H, W,
             precrop=precrop, precrop_frac=precrop_frac,
             merged=merged_sampling)
-        batch = make_ray_batch(rays_o, rays_d, near, far)
-        gt_values = pixel_info
-        result = render_rays(k_render, variables, consts, batch, rcfg_phase,
-                             gt_values=gt_values)
+        return loss_from_batch(
+            variables, (k_render, k_vol, k_vol_render), consts, pixel_info,
+            rays_o, rays_d, rcfg_phase, lcfg, phase, prior_irradiance_mean,
+            near, far, n_vol)
 
-        # Depth distillation random-volume pass (NeRV-style; parity:
-        # train.py:347-381): rays from the detached expected surface
-        # points along random normal-aligned directions, depth-only.
-        depth_volume_result = None
-        if phase.depth_loss_on and "normal" in pixel_info:
-            normal_map = pixel_info["normal"] * 2.0 - 1.0
-            normal_map = normal_map / jnp.maximum(
-                jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12)
-            x_surface = jax.lax.stop_gradient(
-                rays_o + rays_d * result["depth_map"][..., None])
-            rand_dir = 2.0 * jax.random.uniform(k_vol, rays_d.shape) - 1.0
-            sign = jnp.sign(jnp.sum(rand_dir * normal_map, -1))[..., None]
-            rand_dir = sign * rand_dir
-            rand_dir = rand_dir / jnp.maximum(
-                jnp.linalg.norm(rand_dir, axis=-1, keepdims=True), 1e-12)
-            n_vol = min(n_depth_random_volume, batch_size)
-            vol_batch = make_ray_batch(x_surface[:n_vol], rand_dir[:n_vol],
-                                       near, far)
-            depth_volume_result = render_rays(
-                k_vol_render, variables, consts, vol_batch, rcfg_phase,
-                is_depth_only=True)
-            depth_volume_result["depth_map"] = jax.lax.stop_gradient(
-                depth_volume_result["depth_map"])
-
-        total, scalars = compute_losses(
-            result, pixel_info, lcfg, phase, prior_irradiance_mean, far,
-            depth_volume_result=depth_volume_result)
-        return total, scalars
-
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, key, arrays):
-        (_, scalars), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.variables, key, arrays)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.variables)
-        new_vars = optax.apply_updates(state.variables, updates)
-        return (
-            TrainState(variables=new_vars, opt_state=new_opt,
-                       step=state.step + 1),
-            scalars,
-        )
-
-    return train_step
+    return make_optimizer_step(optimizer, donate=donate)(loss_fn)
