@@ -70,11 +70,18 @@ def render_path(
     render_factor: int = 1,
     chunk: int = 2048,
     poses=None,
+    fast: bool = True,
 ):
     """Render all poses of `scene`; returns {name: (N, H, W, C?) stack}.
 
     render_factor > 1 renders downsampled for speed (focal rescaled,
     parity render_decomp_path:826-836).
+
+    fast=True (default) renders each frame as ONE scanned XLA dispatch
+    (render.make_frame_render_fn) with the coarse pass weights-only
+    (RenderConfig.coarse_shading=False) and only the exported buffers
+    computed — every exported (fine) buffer is identical to the slow
+    path; only the never-exported coarse '0' maps are skipped.
     """
     H, W, focal = scene.height, scene.width, scene.focal
     if render_factor not in (0, 1):
@@ -92,15 +99,27 @@ def render_path(
     gt_buffers = scene.gt_buffers()
     render_poses = poses if poses is not None else scene.poses
 
-    # One jitted chunk renderer shared across all poses/chunks.
-    from ibl_nerf_tpu.render.renderer import render_rays
+    # One jitted renderer shared across all poses/chunks.
+    from ibl_nerf_tpu.render.renderer import (
+        render_rays, make_frame_render_fn, render_frame)
+    from ibl_nerf_tpu.ops.rays import get_rays_full_image
 
     rcfg_test = rcfg.replace(perturb=False, raw_noise_std=0.0)
 
-    @jax.jit
-    def render_fn(key, batch, gt):
-        return render_rays(key, variables, consts, batch, rcfg_test,
-                           gt_values=gt)
+    frame_fn = None
+    if fast:
+        kk_ = rcfg.field.coarse_radiance_number
+        export_keys = tuple(k for k, _ in _EXPORTS) + tuple(
+            f"radiance_map_{k + 1}" for k in range(kk_)) + tuple(
+            f"reflected_coarse_radiance_map_{k + 1}" for k in range(kk_))
+        frame_fn = make_frame_render_fn(
+            variables, consts, rcfg_test.replace(coarse_shading=False),
+            output_keys=export_keys)
+    else:
+        @jax.jit
+        def render_fn(key, batch, gt):
+            return render_rays(key, variables, consts, batch, rcfg_test,
+                               gt_values=gt)
 
     results: dict[str, list] = {}
 
@@ -126,10 +145,19 @@ def render_path(
     kk = rcfg.field.coarse_radiance_number
     for i, c2w in enumerate(render_poses):
         gt_i = _resize_gt(gt_buffers, i, factor) if gt_buffers else None
-        res = render_image(
-            jax.random.key(i), variables, consts, H, W, K,
-            jnp.asarray(np.asarray(c2w)[:3, :4]), scene.near, scene.far,
-            rcfg_test, gt_values=gt_i, chunk=chunk, render_fn=render_fn)
+        if fast:
+            ro, rd = get_rays_full_image(
+                H, W, K, jnp.asarray(np.asarray(c2w)[:3, :4]))
+            res = render_frame(
+                frame_fn, jax.random.key(i), ro.reshape(-1, 3),
+                rd.reshape(-1, 3), scene.near, scene.far, chunk,
+                gt_values=gt_i)
+            res = {k: v.reshape(H, W, *v.shape[1:]) for k, v in res.items()}
+        else:
+            res = render_image(
+                jax.random.key(i), variables, consts, H, W, K,
+                jnp.asarray(np.asarray(c2w)[:3, :4]), scene.near, scene.far,
+                rcfg_test, gt_values=gt_i, chunk=chunk, render_fn=render_fn)
 
         for key_name, out_name in _EXPORTS:
             append(res, key_name, i, out_name)

@@ -30,7 +30,7 @@ def stratified_z_vals(
 
     near/far: (..., 1) -> z_vals (..., n_samples).
     """
-    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.asarray(near).dtype)
     if lindisp:
         z = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
     else:

@@ -5,4 +5,6 @@ from ibl_nerf_tpu.render.renderer import (
     render_rays,
     render_image,
     make_ray_batch,
+    make_frame_render_fn,
+    render_frame,
 )

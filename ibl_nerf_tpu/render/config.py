@@ -117,6 +117,19 @@ class RenderConfig:
     compute_dtype: str = "float32"
     use_pallas: bool = False        # fused-field kernel on no-grad sweeps
 
+    # inference fast path
+    # coarse_shading=False: the coarse pass runs density-only (weights
+    # for the importance resample + depth), skipping the coarse shading
+    # graph entirely. The fine (exported) buffers are bit-identical —
+    # apply_field_density shares trunk+sigma with the full query — so
+    # this is a pure ~25-30% FLOP cut for rendering. Keep True for
+    # training (the coarse '0' maps feed img_loss0 etc.).
+    coarse_shading: bool = True
+    # sweep_scan=True: run the 4 ε-offset depth sweeps sequentially via
+    # lax.map instead of one 4B-batched query — 4x lower activation
+    # peak, so inference chunks up to 16384 fit in HBM.
+    sweep_scan: bool = False
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

@@ -50,8 +50,25 @@ def _depth_from_sigma(sigma_raw, dists, z_vals):
     return jnp.sum(w * z_vals, axis=-1)
 
 
+def _sweep_sigma(query_sigma, new_pts, scan: bool):
+    """Evaluate the (4, B, S, 3) ε-offset point set.
+
+    scan=False: ONE batched (4B, S, 3) density query — a single MXU
+    sweep, fastest when activations fit HBM.
+    scan=True: lax.map over the 4 offsets — 4x lower activation peak so
+    big inference chunks fit (the estimator is always stop_gradient'd,
+    so the scan never has to be differentiated).
+    """
+    b = new_pts.shape[1]
+    if scan:
+        return jax.lax.map(lambda p: query_sigma(p)[..., 0], new_pts)
+    sigma = query_sigma(new_pts.reshape(4 * b, *new_pts.shape[2:]))[..., 0]
+    return sigma.reshape(4, b, -1)
+
+
 def normal_from_depth_gradient_epsilon(query_sigma, rays_o, rays_d, z_vals,
-                                       epsilon: float = 0.01):
+                                       epsilon: float = 0.01,
+                                       scan: bool = False):
     """Finite-difference normals wrt *position* offsets.
 
     The 4 offset ray sets are evaluated as ONE batched density query
@@ -62,9 +79,7 @@ def normal_from_depth_gradient_epsilon(query_sigma, rays_o, rays_d, z_vals,
 
     offsets = jnp.stack([right, -right, up, -up], axis=0)  # (4, B, 3)
     new_pts = pts[None] + epsilon * offsets[:, :, None, :]  # (4, B, S, 3)
-    b = rays_o.shape[0]
-    sigma = query_sigma(new_pts.reshape(4 * b, *pts.shape[1:]))[..., 0]
-    sigma = sigma.reshape(4, b, -1)
+    sigma = _sweep_sigma(query_sigma, new_pts, scan)
 
     dists = dists_from_z_vals(z_vals, rays_d)
     d_r = _depth_from_sigma(sigma[0], dists, z_vals)
@@ -78,7 +93,8 @@ def normal_from_depth_gradient_epsilon(query_sigma, rays_o, rays_d, z_vals,
 
 
 def normal_from_depth_gradient_direction_epsilon(query_sigma, rays_o, rays_d,
-                                                 z_vals, epsilon: float = 0.01):
+                                                 z_vals, epsilon: float = 0.01,
+                                                 scan: bool = False):
     """Finite-difference normals wrt *direction* offsets
     (normal_from_depth.py:55-99)."""
     right, up = _pixel_basis(rays_d)
@@ -91,9 +107,7 @@ def normal_from_depth_gradient_direction_epsilon(query_sigma, rays_o, rays_d,
     new_d = jnp.stack([nd_r, nd_l, nd_u, nd_d], axis=0)        # (4, B, 3)
     pts = (rays_o[None, :, None, :]
            + new_d[:, :, None, :] * z_vals[None, :, :, None])   # (4, B, S, 3)
-    b = rays_o.shape[0]
-    sigma = query_sigma(pts.reshape(4 * b, *pts.shape[2:]))[..., 0]
-    sigma = sigma.reshape(4, b, -1)
+    sigma = _sweep_sigma(query_sigma, pts, scan)
 
     dists = dists_from_z_vals(z_vals, rays_d)
     depths = [_depth_from_sigma(sigma[i], dists, z_vals) for i in range(4)]

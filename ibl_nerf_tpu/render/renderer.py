@@ -78,11 +78,17 @@ def _make_queries(field_params, rcfg: RenderConfig):
                    differences + reflected radiance).
     """
     fcfg = rcfg.field
-    dt_grad = (jnp.bfloat16
-               if rcfg.compute_dtype in ("bfloat16", "bf16_grad")
-               else jnp.float32)
-    dt_ng = (jnp.bfloat16 if rcfg.compute_dtype in ("bfloat16", "mixed")
-             else jnp.float32)
+    if rcfg.compute_dtype == "float64":
+        # full-f64 queries (requires jax_enable_x64): the strict parity
+        # mode used by scripts/kitchen_gate.py stage A, where rounding
+        # chaos at high PE frequencies would otherwise mask real errors.
+        dt_grad = dt_ng = jnp.float64
+    else:
+        dt_grad = (jnp.bfloat16
+                   if rcfg.compute_dtype in ("bfloat16", "bf16_grad")
+                   else jnp.float32)
+        dt_ng = (jnp.bfloat16 if rcfg.compute_dtype in ("bfloat16", "mixed")
+                 else jnp.float32)
 
     query_full, query_sigma = _make_query_pair(field_params, rcfg, dt_grad)
 
@@ -115,6 +121,8 @@ def _make_query_pair(field_params, rcfg, dt):
     fcfg = rcfg.field
     params_c = (jax.tree.map(lambda x: x.astype(dt), field_params)
                 if dt != jnp.float32 else field_params)
+    # raw output dtype: bf16 compute returns f32 raws; f64 stays f64.
+    out_dt = jnp.float32 if dt == jnp.bfloat16 else dt
 
     def query_full(pts, viewdirs):
         # pts (B, S, 3); viewdirs (B, 3) broadcast over samples.
@@ -125,13 +133,13 @@ def _make_query_pair(field_params, rcfg, dt):
         raw = apply_field(params_c, pe, de, fcfg,
                           freeze_radiance=rcfg.freeze_radiance,
                           freeze_roughness=rcfg.freeze_roughness)
-        return raw.astype(jnp.float32)
+        return raw.astype(out_dt)
 
     def query_sigma(pts):
         pe = positional_encoding(pts, fcfg.multires).astype(dt)
         raw = apply_field_density(params_c, pe, fcfg,
                                   freeze_radiance=rcfg.freeze_radiance)
-        return raw.astype(jnp.float32)
+        return raw.astype(out_dt)
 
     return query_full, query_sigma
 
@@ -556,11 +564,11 @@ def _estimate_normal(query_sigma, query_sigma_ng, rays_o, rays_d, z_vals,
     if nt == "normal_map_from_depth_gradient_epsilon":
         return stop(normals_mod.normal_from_depth_gradient_epsilon(
             query_sigma_ng, stop(rays_o), stop(rays_d), stop(z_vals),
-            rcfg.epsilon))
+            rcfg.epsilon, scan=rcfg.sweep_scan))
     if nt == "normal_map_from_depth_gradient_direction_epsilon":
         return stop(normals_mod.normal_from_depth_gradient_direction_epsilon(
             query_sigma_ng, stop(rays_o), stop(rays_d), stop(z_vals),
-            rcfg.epsilon_direction))
+            rcfg.epsilon_direction, scan=rcfg.sweep_scan))
     if nt == "normal_map_from_depth_gradient":
         return stop(normals_mod.normal_from_depth_gradient(
             query_sigma, rays_o, rays_d, z_vals))
@@ -656,6 +664,17 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
         _, query_sigma, _, _ = _make_queries(variables["coarse"], rcfg)
         result = _render_depth_only(k_coarse, query_sigma, rays_o, rays_d,
                                     z_vals, rcfg)
+    elif not rcfg.coarse_shading and rcfg.n_importance > 0:
+        # Inference fast path: the coarse pass only has to produce the
+        # importance-resampling weights (+ depth). apply_field_density
+        # shares trunk+sigma with the full query, so every fine buffer
+        # is identical to coarse_shading=True — the coarse shading graph
+        # (ε-normal sweeps, reflected march, heads) is simply not built.
+        # query_sigma (the primary-march dtype) keeps the weights
+        # bit-identical to what the full coarse pass would produce.
+        _, query_sigma, _, _ = _make_queries(variables["coarse"], rcfg)
+        result = _render_depth_only(k_coarse, query_sigma, rays_o, rays_d,
+                                    z_vals, rcfg)
     else:
         result = _raw2outputs(k_coarse, coarse_vars, consts, rays_o, rays_d,
                               z_vals, z_vals_constant, near, far, rcfg,
@@ -702,6 +721,66 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
         result["inferred_depth_map"] = jax.nn.relu(out[..., 0]).squeeze(-1)
 
     return result
+
+
+# ---------------------------------------------------------------------------
+# Scanned whole-frame renderer (inference fast path)
+# ---------------------------------------------------------------------------
+
+def make_frame_render_fn(variables, consts, rcfg: RenderConfig,
+                         output_keys: tuple[str, ...] | None = None,
+                         staticcam: bool = False):
+    """Build ONE jitted program that renders a whole frame.
+
+    The frame arrives pre-tiled as (n_chunks, chunk, 3) ray arrays and is
+    rendered by `lax.map` over the tile axis — a single XLA dispatch per
+    frame (no per-chunk host round-trips), with peak memory bounded by
+    one tile. `output_keys` filters the result dict INSIDE the traced
+    function, so XLA dead-code-eliminates the compute feeding any
+    dropped buffer. Compiles once per (n_chunks, chunk) shape; reuse the
+    returned fn across poses.
+
+    Returns fn(key, rays_o_t, rays_d_t, viewdirs_t, gt_t, near, far)
+    -> {name: (n_chunks, chunk, C?)}. `gt_t` is a (possibly empty) dict
+    of (n_chunks, chunk, C) arrays; viewdirs_t is only consulted when
+    staticcam=True (parity: render_decomp's c2w_staticcam,
+    ibl_nerf_renderer.py:792-796).
+    """
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=())
+    def run(key, rays_o_t, rays_d_t, viewdirs_t, gt_t, near, far):
+        def one(args):
+            ro, rd, vd, gt = args
+            batch = make_ray_batch(ro, rd, near, far)
+            if staticcam:
+                batch["viewdirs"] = vd / jnp.linalg.norm(
+                    vd, axis=-1, keepdims=True)
+            out = render_rays(key, variables, consts, batch, rcfg,
+                              gt_values=gt if gt else None)
+            if output_keys is not None:
+                out = {k: out[k] for k in output_keys if k in out}
+            return out
+
+        return jax.lax.map(one, (rays_o_t, rays_d_t, viewdirs_t, gt_t))
+
+    return run
+
+
+def render_frame(fn, key, rays_o, rays_d, near, far, chunk: int,
+                 gt_values=None, viewdirs=None):
+    """Drive a make_frame_render_fn program over flat (N, 3) rays:
+    pad to a chunk multiple, tile, run, un-tile. Returns {name: (N, C?)}."""
+    n = rays_o.shape[0]
+    pad = (-n) % chunk
+    tile = lambda x: (jnp.concatenate(
+        [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0) if pad else x
+    ).reshape(-1, chunk, *x.shape[1:])
+    gt_t = {k: tile(v) for k, v in (gt_values or {}).items()}
+    vd_t = tile(viewdirs if viewdirs is not None else rays_d)
+    out = fn(key, tile(rays_o), tile(rays_d), vd_t, gt_t,
+             jnp.asarray(near, jnp.float32), jnp.asarray(far, jnp.float32))
+    return {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in out.items()}
 
 
 # ---------------------------------------------------------------------------
