@@ -34,11 +34,9 @@ ITERS = 20
 def main(compute_dtype: str | None = None):
     compute_dtype = compute_dtype or "float32"
     # persistent compile cache: repeat runs skip the ~1-3 min XLA compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from ibl_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
     from ibl_nerf_tpu.render import RenderConfig

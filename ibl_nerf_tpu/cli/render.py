@@ -74,6 +74,9 @@ TRAJECTORIES = {
 
 
 def main(argv=None):
+    from ibl_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     logger = load_logger("render")
     # extra orbit flags on top of the shared parser
     argv = argv if argv is not None else None

@@ -138,6 +138,9 @@ def run_test(args):
 
 
 def main(argv=None):
+    from ibl_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_with_includes(argv)
     run_test(args)
 

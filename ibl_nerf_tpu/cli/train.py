@@ -13,6 +13,9 @@ from ibl_nerf_tpu.train.loop import train
 
 
 def main(argv=None):
+    from ibl_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_with_includes(argv)
     if getattr(args, "num_processes", 0) and args.num_processes > 1:
         from ibl_nerf_tpu.parallel import distributed as dist

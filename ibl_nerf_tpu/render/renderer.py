@@ -729,7 +729,7 @@ def render_rays(key, variables, consts, batch, rcfg: RenderConfig,
 
 def make_frame_render_fn(variables, consts, rcfg: RenderConfig,
                          output_keys: tuple[str, ...] | None = None,
-                         staticcam: bool = False):
+                         staticcam: bool = False, unroll: int = 1):
     """Build ONE jitted program that renders a whole frame.
 
     The frame arrives pre-tiled as (n_chunks, chunk, 3) ray arrays and is
@@ -745,12 +745,16 @@ def make_frame_render_fn(variables, consts, rcfg: RenderConfig,
     of (n_chunks, chunk, C) arrays; viewdirs_t is only consulted when
     staticcam=True (parity: render_decomp's c2w_staticcam,
     ibl_nerf_renderer.py:792-796).
+
+    unroll > 1 unrolls the scan over tiles so XLA can interleave
+    adjacent tiles' programs (fills MXU pipeline bubbles between a
+    tile's dependent MLP chains); n_chunks must stay divisible by it.
     """
     from functools import partial
 
     @partial(jax.jit, donate_argnums=())
     def run(key, rays_o_t, rays_d_t, viewdirs_t, gt_t, near, far):
-        def one(args):
+        def one(_, args):
             ro, rd, vd, gt = args
             batch = make_ray_batch(ro, rd, near, far)
             if staticcam:
@@ -760,9 +764,12 @@ def make_frame_render_fn(variables, consts, rcfg: RenderConfig,
                               gt_values=gt if gt else None)
             if output_keys is not None:
                 out = {k: out[k] for k in output_keys if k in out}
-            return out
+            return None, out
 
-        return jax.lax.map(one, (rays_o_t, rays_d_t, viewdirs_t, gt_t))
+        _, out = jax.lax.scan(one, None,
+                              (rays_o_t, rays_d_t, viewdirs_t, gt_t),
+                              unroll=unroll)
+        return out
 
     return run
 

@@ -30,6 +30,9 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
     from analytic_scene import make_analytic_scene
     from ibl_nerf_tpu.cli.config import parse_with_includes
     from ibl_nerf_tpu.train.loop import train
+    from ibl_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if not os.path.exists(os.path.join(scene_dir, "transforms_train.json")):
         make_analytic_scene(scene_dir)

@@ -82,12 +82,16 @@ def main():
                     compute_dtype=dt,
                     coarse_shading="coarse" in opts,
                     sweep_scan="scan" in opts)
+                keys = (("color_map",) if "minimal" in opts
+                        else export_keys)
+                unroll = next((int(o[1:]) for o in opts
+                               if o.startswith("u")), 1)
                 rays_o = jnp.asarray(
                     rng.standard_normal((H * W, 3)), jnp.float32) * 0.1
                 rays_d = jnp.asarray(
                     rng.standard_normal((H * W, 3)), jnp.float32)
                 fn = make_frame_render_fn(variables, consts, rcfg,
-                                          output_keys=export_keys)
+                                          output_keys=keys, unroll=unroll)
                 t_c0 = time.perf_counter()
                 out = render_frame(fn, jax.random.key(0), rays_o, rays_d,
                                    2.0, 8.0, chunk)

@@ -79,6 +79,67 @@ class TestMeshExtraction:
         radii = np.linalg.norm(verts, axis=-1)
         np.testing.assert_allclose(radii.mean(), 1.0, atol=0.05)
 
+    def test_marching_cubes_sphere(self):
+        from ibl_nerf_tpu.utils.mesh_extract import marching_cubes
+
+        n = 24
+        t = np.linspace(-1.5, 1.5, n, dtype=np.float32)
+        g = np.stack(np.meshgrid(t, t, t, indexing="ij"), -1)
+        values = 100.0 * (1.0 - np.linalg.norm(g, axis=-1))  # sphere r=1
+        verts, faces = marching_cubes(values, iso=0.0,
+                                      origin=(-1.5, -1.5, -1.5),
+                                      spacing=3.0 / (n - 1))
+        assert len(verts) > 100 and len(faces) > 100
+        radii = np.linalg.norm(verts, axis=-1)
+        # MC vertices interpolate the (linear-in-r) field exactly on
+        # edges -> much tighter than the tetrahedra variant
+        np.testing.assert_allclose(radii, 1.0, atol=0.02)
+
+    def test_marching_cubes_watertight_all_cases(self):
+        """Closed surface: every mesh edge shared by exactly 2 faces and
+        V - E + F == 2 (sphere topology). A random smooth blob exercises
+        many of the 256 generated cases incl. ambiguous faces."""
+        from ibl_nerf_tpu.utils.mesh_extract import marching_cubes
+
+        rng = np.random.default_rng(3)
+        n = 20
+        t = np.linspace(-1.5, 1.5, n, dtype=np.float32)
+        g = np.stack(np.meshgrid(t, t, t, indexing="ij"), -1)
+        r = np.linalg.norm(g, axis=-1)
+        # bumpy star-shaped blob (genus 0)
+        bump = sum(a * np.sin(f * g[..., i] + p) for i, (a, f, p) in
+                   enumerate(zip(rng.uniform(0.05, 0.15, 3),
+                                 rng.uniform(2.0, 5.0, 3),
+                                 rng.uniform(0, 6, 3))))
+        values = (1.0 + bump) - r
+        verts, faces = marching_cubes(values, iso=0.0,
+                                      origin=(-1.5, -1.5, -1.5),
+                                      spacing=3.0 / (n - 1))
+        edges = np.sort(np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                                        faces[:, [2, 0]]]), axis=1)
+        uniq, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all(), "non-manifold or open edges"
+        euler = len(verts) - len(uniq) + len(faces)
+        assert euler == 2, f"Euler characteristic {euler} != 2"
+
+    def test_marching_cubes_orientation(self):
+        """Triangle normals point away from the inside (above-iso)
+        region: signed volume of the sphere mesh is positive."""
+        from ibl_nerf_tpu.utils.mesh_extract import marching_cubes
+
+        n = 16
+        t = np.linspace(-1.5, 1.5, n, dtype=np.float32)
+        g = np.stack(np.meshgrid(t, t, t, indexing="ij"), -1)
+        values = 1.0 - np.linalg.norm(g, axis=-1)
+        verts, faces = marching_cubes(values, iso=0.0,
+                                      origin=(-1.5, -1.5, -1.5),
+                                      spacing=3.0 / (n - 1))
+        tri = verts[faces]
+        signed_vol = np.sum(np.einsum(
+            "ij,ij->i", tri[:, 0], np.cross(tri[:, 1], tri[:, 2]))) / 6.0
+        assert abs(abs(signed_vol) - 4.0 / 3.0 * np.pi) < 0.3
+        assert signed_vol > 0, "normals flipped"
+
     def test_export_obj(self, tmp_path):
         from ibl_nerf_tpu.utils.mesh_extract import export_obj
 
