@@ -267,9 +267,16 @@ def build_parser() -> argparse.ArgumentParser:
     add("--inserting_target_irradiance_list", type=float, action="append")
 
     # TPU-native additions
-    add("--compute_dtype", type=str, default="float32",
+    add("--seed", type=int, default=0,
+        help="init + per-iter PRNG seed (multi-seed convergence studies)")
+    # bf16_grad is the default training mode: full-bf16 fwd+bwd speed,
+    # f32 no-grad sweeps, f32-accumulated raw head outputs. Multi-seed
+    # 10k study (RESULTS.md): >= f32 quality on every buffer at
+    # ~1.25x the throughput. float32 remains the strict-parity mode.
+    add("--compute_dtype", type=str, default="bf16_grad",
         help="float32 | bfloat16 (MXU fast path) | mixed (f32 grads, "
-             "bf16 no-grad sweeps) | bf16_grad (bf16 grads, f32 sweeps)")
+             "bf16 no-grad sweeps) | bf16_grad (bf16 grads, f32 sweeps) "
+             "| amp (f32 storage/grads, bf16 MXU passes w/ f32 accum)")
     add("--mesh_devices", type=int, default=0,
         help="0 = all local devices; N = first N")
     add("--coordinator_address", type=str, default=None,

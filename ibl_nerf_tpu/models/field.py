@@ -100,39 +100,78 @@ def init_field_params(key: jax.Array, cfg: FieldConfig) -> Params:
     return params
 
 
-def _dense(p, x):
-    return x @ p["w"] + p["b"]
+def _mm(x, w, amp: bool = False):
+    """Matmul; under `amp`, one bf16×bf16 MXU pass with f32 accumulation.
+
+    amp ("automatic mixed precision") keeps every tensor that LIVES
+    anywhere — params, activations, cotangents, dW — in f32, and rounds
+    only the two matmul OPERANDS to bf16 with preferred_element_type=
+    f32. On TPU this is the same input rounding XLA's DEFAULT matmul
+    precision applies to f32 dots, so forward numerics match the f32
+    mode; the win is that autodiff saves the bf16 operand casts as the
+    residuals (halved fwd→bwd HBM traffic) while dW still accumulates
+    and emerges in f32 (the bf16_grad mode's dW is rounded to bf16,
+    which is where its @10k quality loss lives — RESULTS.md).
+    """
+    if amp:
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return x @ w
 
 
-def _trunk(params: Params, pts_emb: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:
+def _mm_f32out(x, w, amp: bool = False):
+    """Matmul whose output keeps the MXU's f32 accumulation.
+
+    For bf16 operands this is free (the MXU accumulates in f32 anyway;
+    we just skip the final round-to-bf16) and it is what makes the bf16
+    compute modes match f32 quality: the raw head outputs — sigma
+    especially, which drives alpha→weights→depth→ε-normal finite
+    differences — leave the network at f32 precision instead of being
+    quantized to 8 mantissa bits. For f32/f64 operands it is the plain
+    dot (preferred_element_type would otherwise down/up-cast f64/f32).
+    """
+    if amp or x.dtype == jnp.bfloat16:
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return x @ w
+
+
+def _dense(p, x, amp: bool = False):
+    return _mm(x, p["w"], amp) + p["b"]
+
+
+def _trunk(params: Params, pts_emb: jnp.ndarray, cfg: FieldConfig,
+           amp: bool = False) -> jnp.ndarray:
     # Keeping the skip as a real concat: the split-matmul form
     # (pts_emb @ W[:in] + h @ W[in:]) measured +0.3 ms on the f32
     # backward and nothing on bf16 — XLA fuses this concat fine.
     h = pts_emb
     for i, layer in enumerate(params["trunk"]):
-        h = jax.nn.relu(_dense(layer, h))
+        h = jax.nn.relu(_dense(layer, h, amp))
         if i in cfg.skips:
             h = jnp.concatenate([pts_emb, h], axis=-1)
     return h
 
 
-def _pos_features(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+def _pos_features(params: Params, h: jnp.ndarray,
+                  amp: bool = False) -> jnp.ndarray:
     """Fused position-branch feature heads: (N, 2·half) =
     relu(h @ [albedo_feat | irradiance_feat])."""
     wf = jnp.concatenate(
         [params["albedo_feat"]["w"], params["irradiance_feat"]["w"]], axis=1)
     bf = jnp.concatenate(
         [params["albedo_feat"]["b"], params["irradiance_feat"]["b"]], axis=0)
-    return jax.nn.relu(h @ wf + bf)
+    return jax.nn.relu(_mm(h, wf, amp) + bf)
 
 
-def _coarse_features(params: Params, h2: jnp.ndarray) -> jnp.ndarray | None:
+def _coarse_features(params: Params, h2: jnp.ndarray,
+                     amp: bool = False) -> jnp.ndarray | None:
     """Fused K coarse-radiance feature heads: (N, K·half)."""
     if not params["coarse_feat"]:
         return None
     wf = jnp.concatenate([p["w"] for p in params["coarse_feat"]], axis=1)
     bf = jnp.concatenate([p["b"] for p in params["coarse_feat"]], axis=0)
-    return jax.nn.relu(h2 @ wf + bf)
+    return jax.nn.relu(_mm(h2, wf, amp) + bf)
 
 
 def _zeros_like_cols(w: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -206,14 +245,15 @@ def _assembly_matrices(params: Params, cfg: FieldConfig,
 
 def apply_field_density(params: Params, pts_emb: jnp.ndarray,
                         cfg: FieldConfig,
-                        freeze_radiance: bool = False) -> jnp.ndarray:
+                        freeze_radiance: bool = False,
+                        amp: bool = False) -> jnp.ndarray:
     """Density-only query (viewdirs=None path, ibl_nerf.py:110-111,175-176).
 
     Returns raw sigma (..., 1). Under freeze_radiance the trunk+sigma run
     inside no_grad in the reference — stop_gradient on the output.
     """
-    h = _trunk(params, pts_emb, cfg)
-    sigma = _dense(params["sigma"], h)
+    h = _trunk(params, pts_emb, cfg, amp)
+    sigma = _mm_f32out(h, params["sigma"]["w"], amp) + params["sigma"]["b"]
     if freeze_radiance:
         sigma = jax.lax.stop_gradient(sigma)
     return sigma
@@ -226,6 +266,7 @@ def apply_field(
     cfg: FieldConfig,
     freeze_radiance: bool = False,
     freeze_roughness: bool = False,
+    amp: bool = False,
 ) -> jnp.ndarray:
     """Full field query -> raw (..., 9 + 3K).
 
@@ -240,22 +281,23 @@ def apply_field(
     """
     stop = jax.lax.stop_gradient
     W = params["feature"]["w"].shape[0]
-    h = _trunk(params, pts_emb, cfg)
+    h = _trunk(params, pts_emb, cfg, amp)
     h_heads = stop(h) if freeze_radiance else h
 
-    pos_feat = _pos_features(params, h_heads)
+    pos_feat = _pos_features(params, h_heads, amp)
 
     # View branch; concat([feature, dirs_emb]) @ W -> split matmul.
     if cfg.color_independent_to_direction:
         h2 = h_heads
     else:
-        feat = _dense(params["feature"], h_heads)
+        feat = _dense(params["feature"], h_heads, amp)
         vw, vb = params["views"][0]["w"], params["views"][0]["b"]
-        h2 = jax.nn.relu(feat @ vw[:W] + dirs_emb @ vw[W:] + vb)
+        h2 = jax.nn.relu(_mm(feat, vw[:W], amp) + _mm(dirs_emb, vw[W:], amp)
+                         + vb)
         for layer in params["views"][1:]:
-            h2 = jax.nn.relu(_dense(layer, h2))
+            h2 = jax.nn.relu(_dense(layer, h2, amp))
 
-    view_feat = _coarse_features(params, h2)
+    view_feat = _coarse_features(params, h2, amp)
 
     A, B, C, D, bias = _assembly_matrices(
         params, cfg, freeze_radiance, freeze_roughness)
@@ -264,8 +306,9 @@ def apply_field(
     # view branch too: stop the matmul inputs so no cotangent reaches
     # feature/views/coarse_feat params (parity with no_grad).
     h2_in = stop(h2) if freeze_radiance else h2
-    raw = h_heads @ A + pos_feat @ B + h2_in @ C + bias
+    raw = (_mm_f32out(h_heads, A, amp) + _mm_f32out(pos_feat, B, amp)
+           + _mm_f32out(h2_in, C, amp) + bias)
     if view_feat is not None:
         vf_in = stop(view_feat) if freeze_radiance else view_feat
-        raw = raw + vf_in @ D
+        raw = raw + _mm_f32out(vf_in, D, amp)
     return raw

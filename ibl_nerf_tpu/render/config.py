@@ -112,7 +112,7 @@ class RenderConfig:
     edit: EditConfig | None = None
 
     # numerics / kernels
-    # "float32" | "bfloat16" | "mixed" | "bf16_grad" — see
+    # "float32" | "bfloat16" | "mixed" | "bf16_grad" | "amp" — see
     # renderer._make_queries for the exact split
     compute_dtype: str = "float32"
     use_pallas: bool = False        # fused-field kernel on no-grad sweeps

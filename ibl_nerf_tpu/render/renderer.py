@@ -75,9 +75,17 @@ def _make_queries(field_params, rcfg: RenderConfig):
                    without touching gradient precision;
       "bf16_grad" — the inverse split: gradient path bf16 (fast
                    fwd+bwd), no-grad sweeps f32 (exact ε-normal depth
-                   differences + reflected radiance).
+                   differences + reflected radiance);
+      "amp"      — f32 everywhere EXCEPT the matmul operands, which are
+                   rounded to bf16 with f32 accumulation (one MXU pass,
+                   preferred_element_type=f32). Params, activations,
+                   cotangents and dW all stay f32 — on TPU the forward
+                   matmul numerics equal f32-at-DEFAULT-precision, so
+                   quality tracks f32 while fwd→bwd activation traffic
+                   is halved (the residuals are the bf16 operand casts).
     """
     fcfg = rcfg.field
+    amp = rcfg.compute_dtype == "amp"
     if rcfg.compute_dtype == "float64":
         # full-f64 queries (requires jax_enable_x64): the strict parity
         # mode used by scripts/kitchen_gate.py stage A, where rounding
@@ -90,7 +98,8 @@ def _make_queries(field_params, rcfg: RenderConfig):
         dt_ng = (jnp.bfloat16 if rcfg.compute_dtype in ("bfloat16", "mixed")
                  else jnp.float32)
 
-    query_full, query_sigma = _make_query_pair(field_params, rcfg, dt_grad)
+    query_full, query_sigma = _make_query_pair(field_params, rcfg, dt_grad,
+                                               amp=amp)
 
     if rcfg.use_pallas:
         from ibl_nerf_tpu.kernels.fused_field import (
@@ -110,13 +119,21 @@ def _make_queries(field_params, rcfg: RenderConfig):
     elif dt_ng != dt_grad:
         query_full_ng, query_sigma_ng = _make_query_pair(
             jax.lax.stop_gradient(field_params), rcfg, dt_ng)
+    elif amp:
+        # amp keeps the no-grad sweeps at plain f32 (like bf16_grad):
+        # the ε-normal finite differences divide by a small ε, so bf16
+        # operand rounding there moves the normal TARGETS (and through
+        # them the gradients) far more than it moves the shaded output;
+        # sweep dtype is speed-neutral on v5e anyway (RESULTS.md).
+        query_full_ng, query_sigma_ng = _make_query_pair(
+            jax.lax.stop_gradient(field_params), rcfg, dt_ng)
     else:
         query_full_ng, query_sigma_ng = query_full, query_sigma
 
     return query_full, query_sigma, query_full_ng, query_sigma_ng
 
 
-def _make_query_pair(field_params, rcfg, dt):
+def _make_query_pair(field_params, rcfg, dt, amp: bool = False):
     """(query_full, query_sigma) closures at compute dtype `dt`."""
     fcfg = rcfg.field
     params_c = (jax.tree.map(lambda x: x.astype(dt), field_params)
@@ -132,13 +149,15 @@ def _make_query_pair(field_params, rcfg, dt):
                               (*pts.shape[:-1], de.shape[-1]))
         raw = apply_field(params_c, pe, de, fcfg,
                           freeze_radiance=rcfg.freeze_radiance,
-                          freeze_roughness=rcfg.freeze_roughness)
+                          freeze_roughness=rcfg.freeze_roughness,
+                          amp=amp)
         return raw.astype(out_dt)
 
     def query_sigma(pts):
         pe = positional_encoding(pts, fcfg.multires).astype(dt)
         raw = apply_field_density(params_c, pe, fcfg,
-                                  freeze_radiance=rcfg.freeze_radiance)
+                                  freeze_radiance=rcfg.freeze_radiance,
+                                  amp=amp)
         return raw.astype(out_dt)
 
     return query_full, query_sigma

@@ -239,7 +239,8 @@ def train(args):
     rcfg = render_config_from_args(args, fcfg)
     lcfg = loss_config_from_args(args)
 
-    variables = init_variables(jax.random.key(0), args, fcfg)
+    seed = int(getattr(args, "seed", 0) or 0)
+    variables = init_variables(jax.random.key(seed), args, fcfg)
     consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
 
     optimizer = build_optimizer(
@@ -424,7 +425,7 @@ def train(args):
 
         for i in range(seg_start, seg_end):
             it_t0 = time.time()
-            key = jax.random.fold_in(jax.random.key(42), i)
+            key = jax.random.fold_in(jax.random.key(42 + seed), i)
             state, scalars = step_call(state, key, i)
 
             if i % args.summary_step == 0:

@@ -23,7 +23,7 @@ import numpy as np
 
 def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
          logdir="/tmp/convergence_logs", compute_dtype="float32",
-         no_batching=True):
+         no_batching=True, seed=0):
     # no_batching=True is the canonical protocol (the live reference
     # configs train single-image batches); merged sampling converges
     # differently at short horizons (27.2 vs 30.6 radiance PSNR @3k).
@@ -58,6 +58,7 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
         "--use_viewdirs",
         "--testskip", "1",
         "--compute_dtype", compute_dtype,
+        "--seed", str(seed),
     ] + (["--no_batching"] if no_batching else []))
 
     t0 = time.time()

@@ -33,7 +33,7 @@ def setup():
     return rcfg, variables, consts, batch
 
 
-@pytest.mark.parametrize("dtype", ["bfloat16", "mixed", "bf16_grad"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "mixed", "bf16_grad", "amp"])
 def test_dtype_mode_close_to_f32_and_grads_flow(setup, dtype):
     rcfg, variables, consts, batch = setup
     out32 = render_rays(jax.random.key(0), variables, consts, batch, rcfg)
@@ -85,3 +85,38 @@ def test_mixed_modes_detach_the_right_path(setup):
     cos = np.sum(np.asarray(outg["target_normal_map"])
                  * np.asarray(out32["target_normal_map"]), axis=-1)
     assert (cos > 0.99).all(), cos
+
+
+def test_amp_keeps_everything_f32_but_rounds_operands(setup):
+    """amp: all live tensors f32 (raw outputs, grads); only the matmul
+    OPERANDS are bf16 — so grads must be closer to f32's than the
+    full-bf16 mode's grads are (dW accumulates and lands in f32), and
+    every intermediate dtype stays f32."""
+    rcfg, variables, consts, batch = setup
+
+    def grad_of(dtype):
+        def loss(variables):
+            # radiance_map: the pure MLP gradient path, no ε-normal
+            # finite-difference quotient (which chaotically amplifies
+            # ANY sub-f32 rounding of the primary-march depth and makes
+            # a value comparison meaningless for every bf16-ish mode).
+            o = render_rays(jax.random.key(0), variables, consts, batch,
+                            rcfg.replace(compute_dtype=dtype))
+            return jnp.mean(o["radiance_map"] ** 2)
+        return jax.grad(loss)(variables)["fine"]["trunk"][0]["w"]
+
+    g32 = np.asarray(grad_of("float32"))
+    gamp = np.asarray(grad_of("amp"))
+    gbf = np.asarray(grad_of("bfloat16"))
+    assert gamp.dtype == np.float32
+    err_amp = np.linalg.norm(gamp - g32) / np.linalg.norm(g32)
+    err_bf = np.linalg.norm(gbf - g32) / np.linalg.norm(g32)
+    # fine z positions come from amp-rounded coarse weights via
+    # sample_pdf, so some value drift is inherent; 0.1 bounds it.
+    assert err_amp < 0.1, err_amp
+    assert err_amp <= err_bf * 1.5, (err_amp, err_bf)
+
+    out = render_rays(jax.random.key(0), variables, consts, batch,
+                      rcfg.replace(compute_dtype="amp"))
+    for k in ("color_map", "radiance_map", "depth_map"):
+        assert out[k].dtype == jnp.float32, k
