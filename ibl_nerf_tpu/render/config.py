@@ -116,6 +116,10 @@ class RenderConfig:
     # renderer._make_queries for the exact split
     compute_dtype: str = "float32"
     use_pallas: bool = False        # fused-field kernel on no-grad sweeps
+    # fused fwd+bwd custom-vjp kernel on the GRADIENT-path full query
+    # (bf16 modes, non-freeze phases, default arch only — falls back to
+    # XLA otherwise). dW accumulates in f32 inside the kernel.
+    use_pallas_train: bool = False
 
     # inference fast path
     # coarse_shading=False: the coarse pass runs density-only (weights

@@ -101,6 +101,26 @@ def _make_queries(field_params, rcfg: RenderConfig):
     query_full, query_sigma = _make_query_pair(field_params, rcfg, dt_grad,
                                                amp=amp)
 
+    if (rcfg.use_pallas_train and dt_grad == jnp.bfloat16
+            and not rcfg.freeze_radiance
+            and fcfg.depth == 8 and fcfg.skips == (4,)
+            and not fcfg.color_independent_to_direction):
+        # Fused fwd+bwd custom-vjp kernel on the gradient-path full
+        # query (kernels/fused_field_train.py). Gradients flow through
+        # the f32 packing; sample positions are stop-rooted in training
+        # (the kernel returns zero cotangent for them). Under freeze
+        # phases the trunk carries no cotangent and the XLA head-only
+        # backward is cheap — kernel not used there.
+        from ibl_nerf_tpu.kernels.fused_field import pack_field_weights
+        from ibl_nerf_tpu.kernels.fused_field_train import (
+            fused_field_apply_train)
+
+        packed32 = pack_field_weights(field_params, fcfg,
+                                      dtype=jnp.float32)
+
+        def query_full(pts, viewdirs):  # noqa: F811
+            return fused_field_apply_train(packed32, pts, viewdirs, fcfg)
+
     if rcfg.use_pallas:
         from ibl_nerf_tpu.kernels.fused_field import (
             fused_field_apply,

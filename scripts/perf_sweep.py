@@ -25,7 +25,8 @@ DTYPES = {"f32": "float32", "bf16": "bfloat16", "mixed": "mixed",
           "bf16_grad": "bf16_grad"}
 
 
-def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000):
+def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000,
+          use_pallas_train: bool = False):
     from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
     from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
     from ibl_nerf_tpu.render import RenderConfig
@@ -38,7 +39,8 @@ def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000):
         field=fcfg, n_samples=64, n_importance=128, perturb=True,
         normal_type="normal_map_from_depth_gradient_epsilon",
         correct_depth_for_prefiltered_radiance_infer=True,
-        compute_dtype=compute_dtype, use_pallas=use_pallas)
+        compute_dtype=compute_dtype, use_pallas=use_pallas,
+        use_pallas_train=use_pallas_train)
     lcfg = LossConfig(
         load_priors=True, freeze_roughness=True,
         n_iter_ignore_approximated_radiance=10000,
@@ -76,13 +78,15 @@ def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000):
 
 
 def time_variant(name: str):
-    # variant syntax: <dtype>[:pallas][@phase_iter], e.g. f32@5000
-    # (phase A: no approximate_radiance -> no ε-sweeps/reflected march)
+    # variant syntax: <dtype>[:pallas|:ptrain][@phase_iter], e.g. f32@5000
+    # (phase A: no approximate_radiance -> no ε-sweeps/reflected march);
+    # :ptrain = fused fwd+bwd custom-vjp kernel on the gradient path
     name2, _, phase_s = name.partition("@")
     phase_iter = int(phase_s) if phase_s else 50000
     dt_key, _, pallas = name2.partition(":")
     step_fn, state, arrays = build(DTYPES[dt_key], pallas == "pallas",
-                                   phase_iter)
+                                   phase_iter,
+                                   use_pallas_train=pallas == "ptrain")
     keys = jax.random.split(jax.random.key(7), WARMUP + ITERS)
     t_c0 = time.perf_counter()
     for i in range(WARMUP):

@@ -98,3 +98,117 @@ class TestFusedField:
         ref = apply_field(params, pe, de, CFG)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestFusedFieldTrain:
+    """Custom-vjp fused fwd+bwd kernel (kernels/fused_field_train.py)."""
+
+    @pytest.fixture(scope="class")
+    def tsetup(self):
+        import jax.flatten_util
+        from ibl_nerf_tpu.kernels.fused_field_train import (
+            fused_field_apply_train)
+
+        params = init_field_params(jax.random.key(0), CFG)
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(rng.uniform(-1, 1, (8, 16, 3)).astype(np.float32))
+        dirs = rng.standard_normal((8, 3)).astype(np.float32)
+        dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1,
+                                                 keepdims=True))
+        tgt = jnp.asarray(rng.standard_normal((8, 16, 18)).astype(np.float32))
+
+        def kern_loss(p):
+            packed32 = pack_field_weights(p, CFG, dtype=jnp.float32)
+            raw = fused_field_apply_train(packed32, pts, dirs, CFG,
+                                          interpret=True)
+            return jnp.mean((raw - tgt) ** 2)
+
+        def xla_loss(p, dt):
+            pe = positional_encoding(pts, CFG.multires).astype(dt)
+            de = positional_encoding(dirs, CFG.multires_views).astype(dt)
+            de = jnp.broadcast_to(de[:, None, :],
+                                  (*pts.shape[:-1], de.shape[-1]))
+            pc = jax.tree.map(lambda x: x.astype(dt), p)
+            raw = apply_field(pc, pe, de, CFG).astype(jnp.float32)
+            return jnp.mean((raw - tgt) ** 2)
+
+        return params, kern_loss, xla_loss
+
+    def test_forward_parity_bf16(self, tsetup):
+        from ibl_nerf_tpu.kernels.fused_field_train import (
+            fused_field_apply_train)
+
+        params, _, _ = tsetup
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-1, 1, (4, 16, 3)).astype(np.float32))
+        dirs = rng.standard_normal((4, 3)).astype(np.float32)
+        dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1,
+                                                 keepdims=True))
+        packed32 = pack_field_weights(params, CFG, dtype=jnp.float32)
+        out = fused_field_apply_train(packed32, pts, dirs, CFG,
+                                      interpret=True)
+        pe = positional_encoding(pts, CFG.multires).astype(jnp.bfloat16)
+        de = positional_encoding(dirs, CFG.multires_views).astype(jnp.bfloat16)
+        de = jnp.broadcast_to(de[:, None, :], (*pts.shape[:-1], de.shape[-1]))
+        p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        ref = apply_field(p16, pe, de, CFG)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref,
+                                                               np.float32),
+                                   atol=2e-3)
+
+    def test_grads_at_least_as_accurate_as_xla_bf16(self, tsetup):
+        """Kernel dW (f32-accumulated in VMEM) must be no farther from
+        the f32 ground truth than XLA's bf16 backward is (x1.3 slack)."""
+        import jax.flatten_util
+
+        params, kern_loss, xla_loss = tsetup
+        gk = jax.grad(kern_loss)(params)
+        gx = jax.grad(lambda p: xla_loss(p, jnp.bfloat16))(params)
+        g32 = jax.grad(lambda p: xla_loss(p, jnp.float32))(params)
+        fk = np.asarray(jax.flatten_util.ravel_pytree(gk)[0], np.float32)
+        fx = np.asarray(jax.flatten_util.ravel_pytree(gx)[0], np.float32)
+        f32 = np.asarray(jax.flatten_util.ravel_pytree(g32)[0], np.float32)
+        n32 = np.linalg.norm(f32)
+        err_k = np.linalg.norm(fk - f32) / n32
+        err_x = np.linalg.norm(fx - f32) / n32
+        assert np.isfinite(fk).all()
+        assert err_k < 0.1, err_k
+        assert err_k <= err_x * 1.3, (err_k, err_x)
+
+    def test_renderer_integration_grads(self, tsetup):
+        """render_rays with use_pallas_train: param grads finite and
+        close to the plain bf16_grad path's."""
+        import jax.flatten_util
+        from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
+        from ibl_nerf_tpu.render import (RenderConfig, make_ray_batch,
+                                         render_rays)
+
+        fcfg = CFG
+        rcfg = RenderConfig(
+            field=fcfg, n_samples=6, n_importance=6, perturb=False,
+            approximate_radiance=True, compute_dtype="bf16_grad",
+            normal_type="normal_map_from_depth_gradient_epsilon")
+        variables = {"coarse": init_field_params(jax.random.key(0), fcfg),
+                     "fine": init_field_params(jax.random.key(2), fcfg)}
+        for v in variables.values():
+            v["sigma"]["b"] = v["sigma"]["b"] + 0.5
+        consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
+        rng = np.random.default_rng(1)
+        rays_o = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+        rays_d = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+        batch = make_ray_batch(rays_o, rays_d, 2.0, 6.0)
+
+        def loss(variables, use_kernel):
+            o = render_rays(jax.random.key(0), variables, consts, batch,
+                            rcfg.replace(use_pallas_train=use_kernel))
+            return (jnp.mean(o["color_map"] ** 2)
+                    + jnp.mean(o["radiance_map"] ** 2))
+
+        gk = jax.grad(lambda v: loss(v, True))(variables)
+        gx = jax.grad(lambda v: loss(v, False))(variables)
+        fk = np.asarray(jax.flatten_util.ravel_pytree(gk)[0], np.float32)
+        fx = np.asarray(jax.flatten_util.ravel_pytree(gx)[0], np.float32)
+        assert np.isfinite(fk).all()
+        assert np.abs(fk).max() > 0
+        rel = np.linalg.norm(fk - fx) / (np.linalg.norm(fx) + 1e-30)
+        assert rel < 0.15, rel
