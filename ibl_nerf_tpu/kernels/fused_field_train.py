@@ -43,8 +43,16 @@ from ibl_nerf_tpu.models.field import FieldConfig
 from ibl_nerf_tpu.kernels.fused_field import (
     LANE, IN_COLS, _WEIGHT_ORDER, _pack_inputs, _auto_interpret)
 
-TILE_F = 512   # fwd tile (12 output buffers double-buffered in VMEM)
-TILE_B = 256   # bwd tile (residual inputs + f32 dW accumulators)
+import os
+
+# fwd tile (12 output buffers double-buffered in VMEM) / bwd tile
+# (residual inputs + f32 dW accumulators). TILE_B=512 compiles
+# standalone but OOMs scoped VMEM (19M > 16M) inside the full train
+# step, where XLA schedules the kernel alongside live activations —
+# 512/256 is the largest in-step-safe pair on v5e.
+# Env overrides are for perf sweeps only (scripts/perf_sweep.py).
+TILE_F = int(os.environ.get("IBL_PTRAIN_TILE_F", 512))
+TILE_B = int(os.environ.get("IBL_PTRAIN_TILE_B", 256))
 
 _RES_ORDER = ["h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
               "pf", "ft", "hv"]
