@@ -52,6 +52,28 @@ def load_include_chain(config_file: str) -> list[str]:
         current = parent
 
 
+# Reference flags we intentionally drop: all are dead in the reference
+# itself (parsed by config_parser.py:29-273 but never read outside it —
+# the instance-decomposition / LLFF remnants; verified by grep, see
+# PARITY.md). Keys in this set are skipped silently so verbatim
+# reference configs parse without warning spam; any OTHER unknown key is
+# a likely typo and gets a loud warning (a typo'd `N_importence` must
+# not silently run the experiment with defaults).
+REFERENCE_DEAD_FLAGS = frozenset({
+    "CE_weight_type", "N_iter_ignore_instancewise_constant",
+    "N_iter_ignore_smooth", "albedo_instance_constant", "albedo_smooth",
+    "alpha_th", "beta_indirect", "beta_instance",
+    "beta_instancewise_constant", "beta_mod", "beta_res",
+    "beta_sparse_base", "decompose_mode", "decompose_target", "factor",
+    "half_res", "instance_label_dimension", "instance_label_encoding",
+    "instance_loss_weight", "instance_mask", "instance_th",
+    "irradiance_instance_constant", "irradiance_smooth", "llffhold",
+    "no_ndc", "render_decompose", "roughness_smooth", "spherify",
+    "use_basecolor_score_feature_layer", "use_illumination_feature_layer",
+    "use_instance_feature_layer",
+})
+
+
 def _coerce(action: argparse.Action, value: str | None):
     if isinstance(action, (argparse._StoreTrueAction,)):
         if value is None:
@@ -73,7 +95,12 @@ def _coerce(action: argparse.Action, value: str | None):
 
 
 def apply_config_defaults(parser: argparse.ArgumentParser, files: list[str]):
-    """Apply config files as parser defaults, later files win."""
+    """Apply config files as parser defaults, later files win.
+
+    Unknown keys: known-dead reference flags (REFERENCE_DEAD_FLAGS) are
+    skipped silently; anything else warns with file + key so config
+    typos can't silently no-op.
+    """
     actions = {a.dest: a for a in parser._actions}
     for f in files:
         updates: dict = {}
@@ -82,6 +109,12 @@ def apply_config_defaults(parser: argparse.ArgumentParser, files: list[str]):
                 continue
             a = actions.get(k)
             if a is None:
+                if k not in REFERENCE_DEAD_FLAGS:
+                    import warnings
+
+                    warnings.warn(
+                        f"config {f}: unknown key '{k}' ignored "
+                        f"(typo? it matches no flag)", stacklevel=2)
                 continue
             val = _coerce(a, v)
             if isinstance(a, argparse._AppendAction):

@@ -50,9 +50,31 @@ import os
 # standalone but OOMs scoped VMEM (19M > 16M) inside the full train
 # step, where XLA schedules the kernel alongside live activations —
 # 512/256 is the largest in-step-safe pair on v5e.
-# Env overrides are for perf sweeps only (scripts/perf_sweep.py).
-TILE_F = int(os.environ.get("IBL_PTRAIN_TILE_F", 512))
-TILE_B = int(os.environ.get("IBL_PTRAIN_TILE_B", 256))
+# The env overrides exist for external tile sweeps (set them when
+# invoking scripts/perf_sweep.py; the script itself does not set them).
+
+
+def _tile_from_env(var: str, default: int) -> int:
+    """Validated tile override: positive, 8-aligned (sublane), else a
+    clear error naming the env var instead of an opaque Mosaic one."""
+    raw = os.environ.get(var)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"{var}={raw!r} is not an integer; expected a positive "
+            f"multiple of 8 (default {default})") from e
+    if val <= 0 or val % 8 != 0:
+        raise ValueError(
+            f"{var}={val} must be a positive multiple of 8 "
+            f"(TPU sublane alignment; default {default})")
+    return val
+
+
+TILE_F = _tile_from_env("IBL_PTRAIN_TILE_F", 512)
+TILE_B = _tile_from_env("IBL_PTRAIN_TILE_B", 256)
 
 _RES_ORDER = ["h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
               "pf", "ft", "hv"]

@@ -50,6 +50,59 @@ def small_args(scene_dir, logdir, extra=()):
     return parse_with_includes(argv)
 
 
+class TestConfigHygiene:
+    def test_unknown_key_warns(self, tmp_path):
+        """A typo'd config key must warn loudly (file + key), not
+        silently run the experiment with defaults."""
+        import warnings
+
+        cfg = tmp_path / "exp.txt"
+        cfg.write_text("N_importence = 128\nN_samples = 32\n")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            args = parse_with_includes(["--config", str(cfg)])
+        msgs = [str(x.message) for x in w]
+        assert any("N_importence" in m and str(cfg) in m for m in msgs), msgs
+        assert args.N_samples == 32          # valid keys still apply
+        assert args.N_importance == 0        # the typo'd key did nothing
+
+    def test_dead_reference_flags_skip_silently(self, tmp_path):
+        """Known-dead reference flags (the instance-decomposition / LLFF
+        remnants) parse without warning spam — verbatim reference
+        configs must stay quiet."""
+        import warnings
+
+        cfg = tmp_path / "ref.txt"
+        cfg.write_text("spherify = true\ndecompose_mode = entire\n"
+                       "llffhold = 8\nN_rand = 512\n")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            args = parse_with_includes(["--config", str(cfg)])
+        assert not w, [str(x.message) for x in w]
+        assert args.N_rand == 512
+
+    def test_reference_config_tree_parses_clean(self, tmp_path):
+        """The live reference config hierarchy (common -> IBL-NeRF ->
+        scene) parses verbatim with zero warnings."""
+        import shutil
+        import warnings
+
+        src = "/root/reference/configs"
+        if not os.path.isdir(src):
+            pytest.skip("reference configs unavailable")
+        dst = tmp_path / "configs"
+        shutil.copytree(src, dst)
+        scene_cfg = dst / "IBL-NeRF" / "kitchen" / "IBL-NeRF.txt"
+        if not scene_cfg.exists():
+            pytest.skip("kitchen config not in reference tree")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            args = parse_with_includes(["--config", str(scene_cfg)])
+        assert not w, [str(x.message) for x in w]
+        assert args.N_iter == 120000
+        assert args.N_importance == 128
+
+
 class TestDataset:
     def test_mitsuba_load(self, scene_dir):
         from ibl_nerf_tpu.data.dataset import load_mitsuba
@@ -334,17 +387,24 @@ class TestMetrics:
 
     def test_ssim_matches_skimage_formula(self, rng):
         """Cross-check against an independent torch implementation of the
-        standard gaussian-window SSIM."""
+        standard gaussian-window SSIM. The oracle constructs its OWN
+        11x11 sigma=1.5 window from the definition (it must not share
+        eval.metrics' kernel code, or a kernel-generation bug would pass
+        both sides)."""
         import torch
         import torch.nn.functional as TF
 
-        from ibl_nerf_tpu.eval.metrics import ssim, _gaussian_kernel
+        from ibl_nerf_tpu.eval.metrics import ssim
 
         a = rng.uniform(0, 1, (24, 24, 1)).astype(np.float32)
         b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
         ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
 
-        k = torch.tensor(_gaussian_kernel())[None, None]
+        # independent gaussian window (standard SSIM: 11x11, sigma 1.5)
+        x = torch.arange(11, dtype=torch.float64) - 5.0
+        g1 = torch.exp(-x.pow(2) / (2 * 1.5**2))
+        g1 = g1 / g1.sum()
+        k = torch.outer(g1, g1).to(torch.float32)[None, None]
         ta = torch.tensor(a).permute(2, 0, 1)[None]
         tb = torch.tensor(b).permute(2, 0, 1)[None]
 
