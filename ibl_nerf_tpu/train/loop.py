@@ -245,7 +245,9 @@ def train(args):
 
     optimizer = build_optimizer(
         variables, lrate=args.lrate, lrate_decay=args.lrate_decay, lcfg=lcfg,
-        group_lr_overrides={"env_map": args.lrate_env_map})
+        group_lr_overrides={"env_map": args.lrate_env_map},
+        normal_feeds_shading=(
+            args.calculating_normal_type == "inferred_normal_map"))
     state = init_train_state(variables, optimizer)
     elapsed_time = 0.0
     if not args.no_reload:
@@ -256,7 +258,12 @@ def train(args):
             logger.info("restored checkpoint at step %d (elapsed %.0fs)",
                         int(state.step), elapsed_time)
 
-    start = int(state.step) + 1
+    # 0-based update index, matching the reference's trange(start,
+    # N_iters) convention exactly: update i is gated by phases via
+    # `i >= N_iter_ignore_*` and is the (i+1)-th Adam step. state.step
+    # counts completed updates, so a restored run resumes at the first
+    # update the checkpoint does NOT contain.
+    start = int(state.step)
 
     # (4) dataset: device-resident single-host; host-side (sharded by
     # image across processes) in multi-host runs.
@@ -269,7 +276,10 @@ def train(args):
     else:
         arrays = device_arrays_from_scene(scene, include=include)
 
-    # (5) phase segmentation
+    # (5) phase segmentation. Parity: the reference runs
+    # `for i in trange(start, N_iter + 1)` (train.py:137,223) — update
+    # indices 0..N_iter INCLUSIVE, i.e. a fresh run does N_iter+1 Adam
+    # steps and the final weights checkpoint lands exactly at i=N_iter.
     n_iters = args.N_iter + 1
     time_limit_sec = -1.0
     if args.time_limit_in_minute > 0:
@@ -439,7 +449,7 @@ def train(args):
                                 float(scalars["loss_total"]))
 
             elapsed_time += time.time() - it_t0
-            global_step = i
+            global_step = i + 1  # completed updates (ref: global_step += 1)
 
             if time_limit_sec > 0 and elapsed_time > time_limit_sec:
                 logger.info("time limit reached (%.0fs)", elapsed_time)
@@ -448,7 +458,7 @@ def train(args):
                 stop_training = True
                 break
 
-            if i % args.i_weights == 0 and i > 0:
+            if i % args.i_weights == 0:  # parity: ref saves at i=0 too
                 save_ckpt(i)
             if i % args.i_testset == 0 and i > 0:
                 run_testset(i, export_video=(i % args.i_video == 0))

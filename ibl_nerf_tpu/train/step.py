@@ -54,20 +54,67 @@ GROUP_START_KEYS = {
 def _group_schedule(lrate: float, decay_steps: float, start: int):
     def sched(count):
         count = jnp.maximum(count, 0)
-        # reference: applied only when global_step > start; at/below
-        # start the decay exponent is <= 0 -> clamp to lr0.
-        exponent = jnp.maximum(count - start, 0) / decay_steps
+        # Parity (train.py:483-498): the reference calls set_lr AFTER
+        # optimizer.step(), so the Adam step at iteration i uses the LR
+        # computed from global_step = i-1 — and only when that exceeds
+        # the group's start count. Hence the extra -1 in the exponent:
+        # update #c (0-based count c) runs at lrate*0.1^(max(c-1-start,
+        # 0)/decay_steps). Below/at the start the exponent clamps to 0.
+        exponent = jnp.maximum(count - 1 - start, 0) / decay_steps
         return lrate * jnp.power(0.1, exponent)
     return sched
 
 
+def _delayed_start(inner, start: int):
+    """Freeze a param group's optimizer until its loss first activates.
+
+    Parity: reference aux MLPs have `.grad is None` until their gated
+    loss first backpropagates (torch's zero_grad only zeroes grads that
+    exist), and torch.optim.Adam SKIPS None-grad params — their Adam
+    step count / moments start evolving at the group's start iteration.
+    optax instead sees explicit zero gradients from the first step,
+    which would advance the bias-correction count and decay the
+    schedule early. This wrapper reproduces the torch semantics
+    exactly: zero updates and a frozen inner state while the global
+    update count < start; from `start` on, the inner chain evolves from
+    t=1 (fresh bias correction), and its schedule sees only
+    post-activation counts (matching set_lr(name, start)'s
+    (global_step - start) exponent).
+    """
+    if start <= 0:
+        return inner
+
+    def init_fn(params):
+        return (jnp.zeros((), jnp.int32), inner.init(params))
+
+    def update_fn(updates, state, params=None):
+        n, inner_state = state
+
+        def run(_):
+            return inner.update(updates, inner_state, params)
+
+        def skip(_):
+            return jax.tree.map(jnp.zeros_like, updates), inner_state
+
+        new_updates, new_inner = jax.lax.cond(n >= start, run, skip, None)
+        return new_updates, (n + 1, new_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(variables: dict, lrate: float = 5e-4,
                     lrate_decay: int = 250, lcfg: LossConfig | None = None,
-                    group_lr_overrides: dict[str, float] | None = None):
+                    group_lr_overrides: dict[str, float] | None = None,
+                    normal_feeds_shading: bool = False):
     """Named-group Adam with per-group exponential schedules.
 
     group_lr_overrides: per-group base LR (e.g. env_map's lrate_env_map,
-    parity ibl_nerf.py:334)."""
+    parity ibl_nerf.py:334).
+    normal_feeds_shading: True when the renderer's normal_type is
+    'inferred_normal_map' — the normal MLP then receives shading
+    gradients before its own loss activates, so its optimizer must not
+    be start-delayed (only its LR schedule keeps the start offset).
+    """
     decay_steps = lrate_decay * 1000.0
     overrides = group_lr_overrides or {}
 
@@ -79,11 +126,25 @@ def build_optimizer(variables: dict, lrate: float = 5e-4,
         else:
             start = start_spec
         lr0 = overrides.get(name, lrate)
-        transforms[name] = optax.chain(
+        # Groups whose params are grad-free in the reference until their
+        # start iteration get the frozen-until-start treatment (torch
+        # skips None-grad params). Exceptions where grads flow earlier:
+        # roughness_mlp under initialize_roughness (its init loss runs
+        # from step 0, train.py:421-422) and normal_mlp when the
+        # inferred normal feeds shading.
+        delay = start
+        if name == "roughness_mlp" and lcfg is not None and lcfg.initialize_roughness:
+            delay = 0
+        if name == "normal_mlp" and normal_feeds_shading:
+            delay = 0
+        inner = optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.scale_by_schedule(_group_schedule(lr0, decay_steps, start)),
+            optax.scale_by_schedule(
+                _group_schedule(lr0, decay_steps,
+                                0 if delay > 0 else start)),
             optax.scale(-1.0),
         )
+        transforms[name] = _delayed_start(inner, delay)
 
     labels = {name: name for name in variables}
     return optax.multi_transform(transforms, labels)

@@ -180,7 +180,8 @@ class TestColmap:
             "--summary_step", "2", "--use_viewdirs",
         ])
         state = train(args)
-        assert int(state.step) == 6
+        # N_iter=6 -> updates 0..6 inclusive (reference trange parity)
+        assert int(state.step) == 7
 
 
 class TestTrainLoop:
@@ -189,7 +190,8 @@ class TestTrainLoop:
 
         args = small_args(scene_dir, str(tmp_path / "logs"))
         state = train(args)
-        assert int(state.step) == 12
+        # N_iter=12 -> updates 0..12 inclusive (reference trange parity)
+        assert int(state.step) == 13
 
         logdir = os.path.join(args.basedir, "exp")
         assert os.path.exists(os.path.join(logdir, "metrics.jsonl"))
@@ -218,6 +220,7 @@ class TestTrainLoop:
                                  "--N_iter_ignore_depth", "6",
                                  "--N_iter_ignore_normal", "6",
                                  "--N_depth_random_volume", "8",
+                                 "--summary_step", "1",
                                  "--infer_normal_target",
                                  "normal_map_from_depth_gradient_epsilon"])
         args.N_iter = 8
@@ -229,6 +232,8 @@ class TestTrainLoop:
         last = recs[-1]
         assert np.isfinite(last["loss_depth"])
         assert np.isfinite(last["loss_inferred_normal"])
+        # updates are 0-based (reference trange convention): the depth
+        # loss activates at update 6, so updates 6 and 7 carry it.
         assert last["loss_depth"] > 0
 
     def test_train_driver_sharded_over_mesh(self, scene_dir, tmp_path):
@@ -243,7 +248,7 @@ class TestTrainLoop:
         args.N_iter = 6
         args.i_weights = 100000
         state = train(args)
-        assert int(state.step) == 6
+        assert int(state.step) == 7
         recs = [json.loads(l) for l in
                 open(os.path.join(args.basedir, "exp", "metrics.jsonl"))]
         assert all(np.isfinite(r["loss_total"]) for r in recs)
@@ -257,7 +262,9 @@ class TestTrainLoop:
         args2 = small_args(scene_dir, str(tmp_path / "logs"))
         args2.N_iter = 14
         state = train(args2)
-        assert int(state.step) == 14
+        # restored from the i=10 ckpt (11 completed updates), continued
+        # through update 14 inclusive
+        assert int(state.step) == 15
 
 
 class TestRenderPathAndCLI:
