@@ -214,6 +214,8 @@ def main():
     ap.add_argument("--coarse_radiance_number", type=int, default=3)
     ap.add_argument("--netdepth", type=int, default=8)
     ap.add_argument("--testskip", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init + per-iter PRNG seed (multi-seed studies)")
     ap.add_argument("--smoke", action="store_true",
                     help="analytic stand-in scene, tiny net, 200 iters")
     args = ap.parse_args()
@@ -274,6 +276,7 @@ def main():
         "--i_testset", str(5000 if not args.smoke else 1000000),
         "--i_weights", str(10000 if not args.smoke else 1000000),
         "--compute_dtype", args.compute_dtype,
+        "--seed", str(args.seed),
     ]
     if args.smoke:
         train_argv += ["--netdepth", "2", "--netwidth", "32",
