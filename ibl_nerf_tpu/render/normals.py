@@ -54,7 +54,12 @@ def _sweep_sigma(query_sigma, new_pts, scan: bool):
     """Evaluate the (4, B, S, 3) ε-offset point set.
 
     scan=False: ONE batched (4B, S, 3) density query — a single MXU
-    sweep, fastest when activations fit HBM.
+    sweep, fastest when activations fit HBM. The flatten keeps the RAY
+    axis MAJOR ((B, 4, ...) -> (4B, ...)): under a rays-sharded mesh,
+    merging (4, B) with B sharded is unrepresentable and XLA inserts a
+    full all-gather of the sweep points (measured 6.3 MB/step at live
+    shapes before this ordering); merging (B, 4) keeps every offset ray
+    on its primary ray's chip.
     scan=True: lax.map over the 4 offsets — 4x lower activation peak so
     big inference chunks fit (the estimator is always stop_gradient'd,
     so the scan never has to be differentiated).
@@ -62,8 +67,10 @@ def _sweep_sigma(query_sigma, new_pts, scan: bool):
     b = new_pts.shape[1]
     if scan:
         return jax.lax.map(lambda p: query_sigma(p)[..., 0], new_pts)
-    sigma = query_sigma(new_pts.reshape(4 * b, *new_pts.shape[2:]))[..., 0]
-    return sigma.reshape(4, b, -1)
+    pts_bmajor = jnp.swapaxes(new_pts, 0, 1)  # (B, 4, S, 3)
+    sigma = query_sigma(
+        pts_bmajor.reshape(4 * b, *new_pts.shape[2:]))[..., 0]
+    return jnp.swapaxes(sigma.reshape(b, 4, -1), 0, 1)
 
 
 def normal_from_depth_gradient_epsilon(query_sigma, rays_o, rays_d, z_vals,
