@@ -52,11 +52,14 @@ def make_sharded_train_step(
     precrop: bool = False, precrop_frac: float = 0.5,
     merged_sampling: bool = False,
     n_depth_random_volume: int = 256,
+    patch: bool = False,
 ):
     """Jitted SPMD train step: batch sampled on device, rays sharded over
     the mesh, params replicated, grads psum'd by XLA.
 
-    batch_size must divide by mesh size.
+    batch_size must divide by mesh size. patch: `--ray_sample patch`
+    (see train.step.make_train_step) — the 8-neighbor rays derive from
+    local primary rays, so the no-grad neighbor render stays chip-local.
     """
     n_dev = mesh.devices.size
     assert batch_size % n_dev == 0, (batch_size, n_dev)
@@ -73,21 +76,39 @@ def make_sharded_train_step(
     n_vol = max(n_vol, n_dev)
 
     def loss_fn(variables, key, arrays):
-        k_sample, k_render, k_vol, k_vol_render = jax.random.split(key, 4)
-        pixel_info, rays_o, rays_d, _, _, _ = sample_pixel_batch(
-            k_sample, arrays, batch_size, H, W,
-            precrop=precrop, precrop_frac=precrop_frac,
-            merged=merged_sampling)
+        (k_sample, k_render, k_vol, k_vol_render,
+         k_patch) = jax.random.split(key, 5)
+        pixel_info, rays_o, rays_d, _, rays_o_n, rays_d_n = \
+            sample_pixel_batch(
+                k_sample, arrays, batch_size, H, W,
+                precrop=precrop, precrop_frac=precrop_frac,
+                patch=patch, merged=merged_sampling)
         # Constrain the ray batch (and gt pixels) to the rays axis; all
         # downstream per-ray tensors inherit this sharding.
         rays_o = jax.lax.with_sharding_constraint(rays_o, rays_sh)
         rays_d = jax.lax.with_sharding_constraint(rays_d, rays_sh)
         pixel_info = {k: jax.lax.with_sharding_constraint(v, rays_sh)
                       for k, v in pixel_info.items()}
-        return loss_from_batch(
+        total, scalars = loss_from_batch(
             variables, (k_render, k_vol, k_vol_render), consts, pixel_info,
             rays_o, rays_d, rcfg_phase, lcfg, phase, prior_irradiance_mean,
             near, far, n_vol)
+        if patch:
+            from ibl_nerf_tpu.render.renderer import make_ray_batch
+
+            vars_ng = jax.lax.stop_gradient(variables)
+            ro = jax.lax.with_sharding_constraint(
+                rays_o_n.reshape(-1, 3), rays_sh)
+            rd = jax.lax.with_sharding_constraint(
+                rays_d_n.reshape(-1, 3), rays_sh)
+            nres = render_rays(k_patch, vars_ng, consts,
+                               make_ray_batch(ro, rd, near, far),
+                               rcfg_phase, is_depth_only=True)
+            ndepth = nres["depth_map"].reshape(batch_size, 8)
+            scalars = dict(scalars)
+            scalars["patch_depth_smoothness"] = jax.numpy.mean(
+                jax.numpy.std(ndepth, axis=-1))
+        return total, scalars
 
     train_step = make_optimizer_step(optimizer)(loss_fn)
 

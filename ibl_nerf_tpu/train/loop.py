@@ -381,6 +381,16 @@ def train(args):
         for name, buf in scene.gt_buffers().items():
             writer.write_images(f"gt/{name}", _panelize(buf), 0)
 
+    # `--ray_sample patch`: live 8-neighbor patch sampling (the
+    # reference parses the flag, builds the neighbor rays and never
+    # consumes them — train.py:240-242; here the neighbor depths feed a
+    # logged smoothness diagnostic). Single-image mode only (the
+    # reference's patch generator is single-image only too).
+    use_patch = args.ray_sample == "patch" and args.no_batching
+    if args.ray_sample == "patch" and not args.no_batching:
+        logger.warning("--ray_sample patch requires --no_batching "
+                       "(single-image sampling); ignoring patch mode")
+
     stop_training = False
     global_step = start
     for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
@@ -413,7 +423,8 @@ def train(args):
                 near=scene.near, far=scene.far, mesh=mesh,
                 precrop=precrop, precrop_frac=args.precrop_frac,
                 merged_sampling=not args.no_batching,
-                n_depth_random_volume=args.N_depth_random_volume)
+                n_depth_random_volume=args.N_depth_random_volume,
+                patch=use_patch)
             state = place_state(state)
             arrays = place_arrays(arrays)
 
@@ -427,7 +438,8 @@ def train(args):
                 near=scene.near, far=scene.far,
                 precrop=precrop, precrop_frac=args.precrop_frac,
                 merged_sampling=not args.no_batching,
-                n_depth_random_volume=args.N_depth_random_volume)
+                n_depth_random_volume=args.N_depth_random_volume,
+                patch=use_patch)
 
             def step_call(state, key, i, _fn=step_fn):
                 return _fn(state, key, arrays)

@@ -249,11 +249,21 @@ def make_train_step(
     merged_sampling: bool = False,
     n_depth_random_volume: int = 256,
     donate: bool = True,
+    patch: bool = False,
 ):
     """Build the jitted train step for one phase.
 
     The render config is specialized to the phase (approximate_radiance,
     freezing); one compiled program per phase.
+
+    patch: `--ray_sample patch` mode — pixels are drawn from [1, H-1)x
+    [1, W-1) and the 8-neighbor rays are built exactly as the
+    reference's sample generator does (generator_utils.py:100-147).
+    The reference then never consumes them (train.py:240-242 builds
+    batch_rays_neigh and drops it); here they are rendered depth-only
+    under stop_gradient and logged as a `patch_depth_smoothness`
+    diagnostic scalar (mean per-patch neighbor-depth std) — the
+    optimization trajectory is unchanged by construction.
     """
     rcfg_phase = phase_render_config(rcfg, phase)
 
@@ -269,14 +279,29 @@ def make_train_step(
     n_vol = min(n_depth_random_volume, batch_size)
 
     def loss_fn(variables, key, arrays):
-        k_sample, k_render, k_vol, k_vol_render = jax.random.split(key, 4)
-        pixel_info, rays_o, rays_d, _, _, _ = sample_pixel_batch(
-            k_sample, arrays, batch_size, H, W,
-            precrop=precrop, precrop_frac=precrop_frac,
-            merged=merged_sampling)
-        return loss_from_batch(
+        (k_sample, k_render, k_vol, k_vol_render,
+         k_patch) = jax.random.split(key, 5)
+        pixel_info, rays_o, rays_d, _, rays_o_n, rays_d_n = \
+            sample_pixel_batch(
+                k_sample, arrays, batch_size, H, W,
+                precrop=precrop, precrop_frac=precrop_frac,
+                patch=patch, merged=merged_sampling)
+        total, scalars = loss_from_batch(
             variables, (k_render, k_vol, k_vol_render), consts, pixel_info,
             rays_o, rays_d, rcfg_phase, lcfg, phase, prior_irradiance_mean,
             near, far, n_vol)
+        if patch:
+            # no-grad depth render of the 8-neighbor rays (B*8 flat,
+            # ray-major so it shards chip-local under a mesh)
+            vars_ng = jax.lax.stop_gradient(variables)
+            nb = make_ray_batch(rays_o_n.reshape(-1, 3),
+                                rays_d_n.reshape(-1, 3), near, far)
+            nres = render_rays(k_patch, vars_ng, consts, nb, rcfg_phase,
+                               is_depth_only=True)
+            ndepth = nres["depth_map"].reshape(batch_size, 8)
+            scalars = dict(scalars)
+            scalars["patch_depth_smoothness"] = jnp.mean(
+                jnp.std(ndepth, axis=-1))
+        return total, scalars
 
     return make_optimizer_step(optimizer, donate=donate)(loss_fn)

@@ -236,6 +236,39 @@ class TestTrainLoop:
         # loss activates at update 6, so updates 6 and 7 carry it.
         assert last["loss_depth"] > 0
 
+    def test_patch_ray_sample_mode(self, scene_dir, tmp_path):
+        """`--ray_sample patch` is config-reachable: the loop samples
+        patch-mode pixel batches and logs the no-grad neighbor-depth
+        smoothness diagnostic every summary step."""
+        from ibl_nerf_tpu.train.loop import train
+
+        args = small_args(scene_dir, str(tmp_path / "logs"),
+                          extra=["--ray_sample", "patch", "--no_batching",
+                                 "--summary_step", "1"])
+        args.N_iter = 4
+        state = train(args)
+        assert int(state.step) == 5
+        recs = [json.loads(l) for l in
+                open(os.path.join(args.basedir, "exp", "metrics.jsonl"))]
+        assert all("patch_depth_smoothness" in r for r in recs)
+        assert all(np.isfinite(r["patch_depth_smoothness"]) for r in recs)
+        assert all(np.isfinite(r["loss_total"]) for r in recs)
+
+    def test_patch_mode_sharded(self, scene_dir, tmp_path):
+        """patch mode composes with the mesh-sharded driver (neighbor
+        rays stay chip-local)."""
+        from ibl_nerf_tpu.train.loop import train
+
+        args = small_args(scene_dir, str(tmp_path / "logs"),
+                          extra=["--ray_sample", "patch", "--no_batching",
+                                 "--summary_step", "1",
+                                 "--mesh_devices", "8"])
+        args.N_iter = 2
+        train(args)
+        recs = [json.loads(l) for l in
+                open(os.path.join(args.basedir, "exp", "metrics.jsonl"))]
+        assert all(np.isfinite(r["patch_depth_smoothness"]) for r in recs)
+
     def test_train_driver_sharded_over_mesh(self, scene_dir, tmp_path):
         """The training driver auto-shards the ray batch over all
         available devices (8 virtual CPU devices in tests)."""
