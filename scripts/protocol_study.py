@@ -1,0 +1,98 @@
+"""Run / aggregate the 120k-protocol dtype x seed study.
+
+The verbatim reference training protocol (kitchen_gate.py stage B/C:
+N_iter=120000, N_rand=512, 64+128 samples, K=3, priors from 100k with
+freeze_roughness, lrate_decay 500) on the 128x128 analytic scene, per
+compute dtype and seed. One TPU process at a time (see CLAUDE.md).
+
+    # launch (sequential, hours):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/protocol_study.py \
+        --run --dtypes bf16_grad float32 --seeds 0 1
+
+    # aggregate what's finished into a markdown table:
+    python scripts/protocol_study.py --basedir /tmp/p120k
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def run_one(scene, basedir, dtype, seed, iters):
+    exp = f"p120k_{dtype}_s{seed}"
+    out = os.path.join(basedir, exp, "kitchen_gate.json")
+    if os.path.exists(out):
+        print(f"[skip] {exp}: {out} exists")
+        return
+    cmd = [sys.executable, os.path.join(os.path.dirname(__file__),
+                                        "kitchen_gate.py"),
+           scene, "--iters", str(iters), "--basedir", basedir,
+           "--expname", exp, "--compute_dtype", dtype,
+           "--seed", str(seed), "--testskip", "1"]
+    print(f"[run] {' '.join(cmd)}", flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def aggregate(basedir):
+    rows = []
+    for path in sorted(glob.glob(os.path.join(basedir, "p120k_*",
+                                              "kitchen_gate.json"))):
+        exp = os.path.basename(os.path.dirname(path))
+        _, dtype, seed = exp.rsplit("_", 2)
+        with open(path) as f:
+            d = json.load(f)
+        m = d["metrics"]
+        rows.append({
+            "dtype": dtype, "seed": seed.lstrip("s"),
+            "train_min": d["train_s"] / 60.0,
+            **{f"{t}_psnr": m[t]["psnr"] for t in m},
+            **{f"{t}_ssim": m[t]["ssim"] for t in m},
+        })
+    if not rows:
+        print("no kitchen_gate.json results found under", basedir)
+        return rows
+    cols = ["dtype", "seed", "train_min", "radiance_psnr", "image_psnr",
+            "albedo_psnr", "irradiance_psnr", "image_ssim"]
+    print("| " + " | ".join(cols) + " |")
+    print("|" + "---|" * len(cols))
+    for r in rows:
+        vals = [f"{r.get(c, float('nan')):.2f}"
+                if isinstance(r.get(c), float) else str(r.get(c, "-"))
+                for c in cols]
+        print("| " + " | ".join(vals) + " |")
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser("protocol_study")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--scene", default="/tmp/analytic_scene_128")
+    ap.add_argument("--basedir", default="/tmp/p120k")
+    ap.add_argument("--iters", type=int, default=120000)
+    ap.add_argument("--dtypes", nargs="+", default=["bf16_grad", "float32"])
+    ap.add_argument("--seeds", nargs="+", type=int, default=[0])
+    args = ap.parse_args()
+
+    if args.run:
+        if not os.path.exists(os.path.join(args.scene,
+                                           "transforms_train.json")):
+            from analytic_scene import make_analytic_scene
+
+            make_analytic_scene(args.scene, h=128, w=128, n_train=16,
+                                n_test=3)
+        for seed in args.seeds:
+            for dtype in args.dtypes:
+                run_one(args.scene, args.basedir, dtype, seed, args.iters)
+    aggregate(args.basedir)
+
+
+if __name__ == "__main__":
+    main()
