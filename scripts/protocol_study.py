@@ -46,7 +46,8 @@ def aggregate(basedir):
     for path in sorted(glob.glob(os.path.join(basedir, "p120k_*",
                                               "kitchen_gate.json"))):
         exp = os.path.basename(os.path.dirname(path))
-        _, dtype, seed = exp.rsplit("_", 2)
+        body = exp[len("p120k_"):]          # e.g. "bf16_grad_s0"
+        dtype, seed = body.rsplit("_", 1)
         with open(path) as f:
             d = json.load(f)
         m = d["metrics"]
