@@ -22,8 +22,9 @@ import numpy as np
 
 
 def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
-         logdir="/tmp/convergence_logs", compute_dtype="float32",
-         no_batching=True, seed=0):
+         logdir="/tmp/convergence_logs", compute_dtype="bf16_grad",
+         no_batching=True, seed=0,
+         normal_type="normal_map_from_depth_gradient_epsilon"):
     # no_batching=True is the canonical protocol (the live reference
     # configs train single-image batches); merged sampling converges
     # differently at short horizons (27.2 vs 30.6 radiance PSNR @3k).
@@ -50,7 +51,7 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
         "--freeze_roughness",
         "--N_iter_ignore_approximated_radiance", str(n_iters // 3),
         "--N_iter_ignore_prior", str(int(n_iters * 0.8)),
-        "--calculating_normal_type", "normal_map_from_depth_gradient_epsilon",
+        "--calculating_normal_type", normal_type,
         "--correct_depth_for_prefiltered_radiance_infer",
         "--i_weights", "1000000", "--i_testset", "1000000",
         "--summary_step", "200",
@@ -96,6 +97,15 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
 
 
 if __name__ == "__main__":
+    # argv: [n_iters] [compute_dtype] [normal_type-or-shorthand]
+    # shorthands: eps -> depth_gradient_epsilon (live default),
+    #             sgs -> sigma_gradient_surface (fast mode: one density
+    #             JVP at B surface points instead of 4 full ray sweeps)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    main(n, logdir=f"/tmp/convergence_logs_{dtype}", compute_dtype=dtype)
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bf16_grad"
+    nt = sys.argv[3] if len(sys.argv) > 3 else "eps"
+    nt = {"eps": "normal_map_from_depth_gradient_epsilon",
+          "sgs": "normal_map_from_sigma_gradient_surface"}.get(nt, nt)
+    tag = f"{dtype}_{'sgs' if 'sigma' in nt else 'eps'}"
+    main(n, logdir=f"/tmp/convergence_logs_{tag}", compute_dtype=dtype,
+         normal_type=nt)

@@ -26,7 +26,8 @@ DTYPES = {"f32": "float32", "bf16": "bfloat16", "mixed": "mixed",
 
 
 def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000,
-          use_pallas_train: bool = False):
+          use_pallas_train: bool = False,
+          normal_type: str = "normal_map_from_depth_gradient_epsilon"):
     from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
     from ibl_nerf_tpu.models.field import FieldConfig, init_field_params
     from ibl_nerf_tpu.render import RenderConfig
@@ -37,7 +38,7 @@ def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000,
     fcfg = FieldConfig(depth=8, width=256, coarse_radiance_number=3)
     rcfg = RenderConfig(
         field=fcfg, n_samples=64, n_importance=128, perturb=True,
-        normal_type="normal_map_from_depth_gradient_epsilon",
+        normal_type=normal_type,
         correct_depth_for_prefiltered_radiance_infer=True,
         compute_dtype=compute_dtype, use_pallas=use_pallas,
         use_pallas_train=use_pallas_train)
@@ -78,15 +79,23 @@ def build(compute_dtype: str, use_pallas: bool, phase_iter: int = 50000,
 
 
 def time_variant(name: str):
-    # variant syntax: <dtype>[:pallas|:ptrain][@phase_iter], e.g. f32@5000
-    # (phase A: no approximate_radiance -> no ε-sweeps/reflected march);
-    # :ptrain = fused fwd+bwd custom-vjp kernel on the gradient path
+    # variant syntax: <dtype>[:pallas|:ptrain][:sgs][@phase_iter],
+    # e.g. f32@5000 (phase A: no approximate_radiance -> no
+    # ε-sweeps/reflected march); :ptrain = fused fwd+bwd custom-vjp
+    # kernel on the gradient path; :sgs = sigma-gradient-surface normal
+    # estimator (one density JVP at B surface points instead of the 4
+    # full ε-offset ray sweeps — the opt-in fast normal mode)
     name2, _, phase_s = name.partition("@")
     phase_iter = int(phase_s) if phase_s else 50000
-    dt_key, _, pallas = name2.partition(":")
-    step_fn, state, arrays = build(DTYPES[dt_key], pallas == "pallas",
+    parts = name2.split(":")
+    dt_key, flags = parts[0], set(parts[1:])
+    normal_type = ("normal_map_from_sigma_gradient_surface"
+                   if "sgs" in flags
+                   else "normal_map_from_depth_gradient_epsilon")
+    step_fn, state, arrays = build(DTYPES[dt_key], "pallas" in flags,
                                    phase_iter,
-                                   use_pallas_train=pallas == "ptrain")
+                                   use_pallas_train="ptrain" in flags,
+                                   normal_type=normal_type)
     keys = jax.random.split(jax.random.key(7), WARMUP + ITERS)
     t_c0 = time.perf_counter()
     for i in range(WARMUP):
