@@ -332,6 +332,13 @@ def main():
             g = g[..., None]
         if p.shape[-1] != g.shape[-1]:
             g = np.broadcast_to(g[..., :1], p.shape)
+        # reference protocol scores SAVED PNGs (calculate_metrics.py:
+        # 10-33): quantize both sides to the uint8 grid. Raw unclipped
+        # float tails (e.g. specular highlights >1) barely move PSNR
+        # but destroy local-variance SSIM.
+        p = np.round(np.clip(p, 0.0, 1.0) * 255.0) / 255.0
+        g = np.round(np.clip(np.asarray(g, np.float64), 0.0, 1.0)
+                     * 255.0) / 255.0
         m = batch_metrics(p, np.asarray(g))
         table[target] = {k: float(m[k]) for k in ("psnr", "ssim", "mse")}
         m = table[target]

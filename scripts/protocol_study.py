@@ -41,6 +41,47 @@ def run_one(scene, basedir, dtype, seed, iters):
     subprocess.run(cmd, check=True)
 
 
+def png_metrics(run_dir, scene, iters=120000, n_images=3):
+    """Score the SAVED testset PNGs against the scene gt — the actual
+    reference protocol (evaluation/calculate_metrics.py:10-33 reads
+    files, never raw buffers). Raw unclipped float tails barely move
+    PSNR but destroy local-variance SSIM, so this is the number to
+    publish."""
+    import cv2
+    import numpy as np
+
+    from ibl_nerf_tpu.eval.metrics import batch_metrics
+
+    d = os.path.join(run_dir, f"testset_{iters:06d}")
+    if not os.path.isdir(d):
+        d = os.path.join(run_dir, f"testset_{iters}")
+    if not os.path.isdir(d):
+        return None
+
+    def load(p):
+        a = cv2.imread(p)
+        return cv2.cvtColor(a, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
+
+    pairs = {"image": ("rgb", "{i}.png"),
+             "radiance": ("radiance", "{i}.png"),
+             "albedo": ("albedo", "{i}_albedo.png"),
+             "irradiance": ("irradiance", "{i}_irradiance.png")}
+    out = {}
+    for target, (pred_name, gt_fmt) in pairs.items():
+        try:
+            pred = np.stack([load(f"{d}/{pred_name}_{i:03d}.png")
+                             for i in range(n_images)])
+            gt = np.stack([load(os.path.join(scene, "test",
+                                             gt_fmt.format(i=i + 1)))
+                           for i in range(n_images)])
+        except Exception:
+            continue
+        m = batch_metrics(pred, gt)
+        out[target] = {k: round(float(m[k]), 4)
+                       for k in ("psnr", "ssim", "mse")}
+    return out
+
+
 def aggregate(basedir):
     rows = []
     for path in sorted(glob.glob(os.path.join(basedir, "p120k_*",
@@ -50,7 +91,8 @@ def aggregate(basedir):
         dtype, seed = body.rsplit("_", 1)
         with open(path) as f:
             d = json.load(f)
-        m = d["metrics"]
+        m = png_metrics(os.path.dirname(path), "/tmp/analytic_scene_128",
+                        d["iters"]) or d["metrics"]
         rows.append({
             "dtype": dtype, "seed": seed.lstrip("s"),
             "train_min": d["train_s"] / 60.0,

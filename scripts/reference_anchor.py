@@ -315,6 +315,12 @@ def score(results, test_scene, keymap):
             g = g[..., None]
         if p.shape[-1] != g.shape[-1]:
             g = np.broadcast_to(g[..., :1], p.shape)
+        # PNG-protocol quantization (see kitchen_gate stage C): score on
+        # the uint8 grid exactly as the reference's calculate_metrics
+        # does on saved files.
+        p = np.round(np.clip(p, 0.0, 1.0) * 255.0) / 255.0
+        g = np.round(np.clip(np.asarray(g, np.float64), 0.0, 1.0)
+                     * 255.0) / 255.0
         m = batch_metrics(p, np.asarray(g))
         table[target] = {k: round(float(m[k]), 4)
                          for k in ("psnr", "ssim", "mse")}
@@ -341,6 +347,8 @@ def main():
         ours_s, state, targs = run_ours(root, args.iters, args.seed,
                                         args.out)
         results = eval_ours(state, targs, test_scene)
+        np.savez(os.path.join(args.out, "ours_buffers.npz"),
+                 **{k: np.asarray(v) for k, v in results.items()})
         report["ours"] = {
             "train_s": round(ours_s, 1),
             "metrics": score(results, test_scene,
@@ -354,6 +362,8 @@ def main():
         ref_s, render_pose = run_reference(train_scene, args.iters,
                                            args.seed)
         results = eval_reference(test_scene, render_pose)
+        np.savez(os.path.join(args.out, "reference_buffers.npz"),
+                 **{k: np.asarray(v) for k, v in results.items()})
         report["reference"] = {
             "train_s": round(ref_s, 1),
             "metrics": score(results, test_scene,
