@@ -152,7 +152,9 @@ def run_reference(scene, iters, seed, log_every=200):
     near, far = float(scene.near), float(scene.far)
     prior_mean = float(scene.prior_irradiance_mean)
 
-    def render(rays_o, rays_d, approx):
+    def render(rays_o, rays_d, approx, perturb=1.0):
+        # train renders use stratified z-jitter like the live protocol
+        # (configs perturb=1); eval renders pass perturb=0.
         b = rays_o.shape[0]
         viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
         ray_batch = torch.tensor(np.concatenate(
@@ -161,7 +163,7 @@ def run_reference(scene, iters, seed, log_every=200):
         return ref_render_rays(
             ray_batch, network_fn=coarse, network_query_fn=query,
             N_samples=NS, N_importance=NI, network_fine=fine,
-            perturb=0.0, raw_noise_std=0.0, approximate_radiance=approx,
+            perturb=perturb, raw_noise_std=0.0, approximate_radiance=approx,
             brdf_lut=lut_t, coarse_radiance_number=K,
             target_normal_map_for_radiance_calculation=(
                 "normal_map_from_depth_gradient_epsilon"),
@@ -217,7 +219,8 @@ def run_reference(scene, iters, seed, log_every=200):
         flat_d = rd.reshape(-1, 3)
         maps = {}
         for s in range(0, flat_o.shape[0], 1024):
-            out = render(flat_o[s:s + 1024], flat_d[s:s + 1024], True)
+            out = render(flat_o[s:s + 1024], flat_d[s:s + 1024], True,
+                         perturb=0.0)
             for name in ("color_map", "radiance_map", "albedo_map",
                          "irradiance_map"):
                 maps.setdefault(name, []).append(out[name].numpy())
