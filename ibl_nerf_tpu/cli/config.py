@@ -322,6 +322,15 @@ def build_parser() -> argparse.ArgumentParser:
     add("--debug_nans", action="store_true",
         help="enable jax_debug_nans (TPU-native analogue of the "
              "reference's autograd anomaly mode + NaN output scans)")
+    add("--init_port_path", type=str, default=None,
+        help="torch reference .tar checkpoint whose coarse/fine state "
+             "dicts are PORTED (utils/port.py) as this run's initial "
+             "weights — same-init cross-framework comparisons")
+    add("--no_init_rejection", action="store_true",
+        help="disable dead-init rejection (train/health.py): by default "
+             "a density field whose init has raw sigma < 0 over the "
+             "whole scene volume (~30%% of reference-init draws; dead "
+             "under ReLU forever) is deterministically re-drawn")
     return p
 
 

@@ -109,7 +109,7 @@ def render_path(
     frame_fn = None
     if fast:
         kk_ = rcfg.field.coarse_radiance_number
-        export_keys = tuple(k for k, _ in _EXPORTS) + tuple(
+        export_keys = tuple(k for k, _ in _EXPORTS) + ("acc_map",) + tuple(
             f"radiance_map_{k + 1}" for k in range(kk_)) + tuple(
             f"reflected_coarse_radiance_map_{k + 1}" for k in range(kk_))
         frame_fn = make_frame_render_fn(
@@ -161,6 +161,11 @@ def render_path(
 
         for key_name, out_name in _EXPORTS:
             append(res, key_name, i, out_name)
+        # acc coverage for the collapse detector (train/health.py) —
+        # returned, never saved (keeps the exported file set identical
+        # to the reference's render_decomp_path).
+        if "acc_map" in res:
+            results.setdefault("acc", []).append(np.asarray(res["acc_map"]))
         for k in range(kk):
             append(res, f"radiance_map_{k + 1}", i, f"radiance_{k + 1}")
             append(res, f"reflected_coarse_radiance_map_{k + 1}", i,

@@ -241,6 +241,32 @@ def train(args):
 
     seed = int(getattr(args, "seed", 0) or 0)
     variables = init_variables(jax.random.key(seed), args, fcfg)
+    if getattr(args, "init_port_path", None):
+        # same-init cross-framework studies: start from a torch
+        # reference checkpoint's (possibly initial) weights.
+        from ibl_nerf_tpu.utils.port import load_reference_checkpoint
+
+        p_coarse, p_fine, _, _ = load_reference_checkpoint(
+            args.init_port_path, fcfg.coarse_radiance_number, fcfg.depth)
+        variables["coarse"] = p_coarse
+        if p_fine is not None and "fine" in variables:
+            variables["fine"] = p_fine
+        logger.info("ported initial coarse/fine weights from %s",
+                    args.init_port_path)
+    if not getattr(args, "no_init_rejection", False):
+        # ~30% of reference-init draws start with a DEAD density field
+        # (raw sigma < 0 everywhere -> zero density gradient forever;
+        # measured for both frameworks in scripts/init_mortality.py).
+        # Deterministically re-draw dead fields. Identical on every
+        # process (pure function of seed + scene), so multi-host safe.
+        from ibl_nerf_tpu.train.health import (
+            probe_points_from_scene, reject_dead_inits)
+
+        variables = reject_dead_inits(
+            jax.random.fold_in(jax.random.key(seed), 0x5EED),
+            variables, fcfg, probe_points_from_scene(scene),
+            fcfg_fine=fine_field_config_from_args(args, fcfg),
+            logger=logger)
     consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
 
     optimizer = build_optimizer(
@@ -332,6 +358,17 @@ def train(args):
                               scene_val, rcfg_test, savedir=testdir,
                               render_factor=args.render_factor)
         logger.info("saved test set to %s", testdir)
+        # held-out collapse check (train/health.py): empty held-out
+        # geometry with plausible train loss is the silent failure mode
+        # the reference's NaN scans never catch.
+        from ibl_nerf_tpu.train.health import (
+            check_collapse, testset_acc_coverage)
+
+        coverage = testset_acc_coverage(results)
+        if coverage is not None:
+            check_collapse(coverage, i, logger, source="held-out testset")
+            if writer is not None:
+                writer.write(i, {"testset_acc_coverage": coverage})
         # TB image panels: one panel per inferred buffer at every
         # testset dump (parity: reference train.py:206-210).
         if writer is not None:
@@ -392,6 +429,7 @@ def train(args):
                        "(single-image sampling); ignoring patch mode")
 
     stop_training = False
+    collapse_warned = False  # warn loudly once, keep logging the scalar
     global_step = start
     for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
         if stop_training or seg_start >= seg_end:
@@ -459,6 +497,13 @@ def train(args):
                 if is_main:
                     logger.info("iter %d loss %.5f", i,
                                 float(scalars["loss_total"]))
+                    if "acc_mean" in scalars and i > 0:
+                        from ibl_nerf_tpu.train.health import check_collapse
+
+                        hit = check_collapse(
+                            float(scalars["acc_mean"]), i,
+                            logger if not collapse_warned else None)
+                        collapse_warned |= hit
 
             elapsed_time += time.time() - it_t0
             global_step = i + 1  # completed updates (ref: global_step += 1)

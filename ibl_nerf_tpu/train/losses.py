@@ -231,6 +231,13 @@ def compute_losses(result: dict, pixel_info: dict, cfg: LossConfig,
                  + cfg.beta_prior_irradiance * loss_prior_irr
                  + cfg.beta_irradiance_reg * loss_irr_reg)
 
+    # collapse-detector signal (train/health.py): mean fine acc mass of
+    # the batch. Free — acc_map is already composited. A live scene
+    # batch sits near 1.0; (near-)zero means the density field is empty
+    # while the loss can still look plausible (the model fits "black").
+    if "acc_map" in result:
+        scalars["acc_mean"] = jnp.mean(result["acc_map"])
+
     scalars.update({
         "loss_total": total,
         "loss_render": loss_render,

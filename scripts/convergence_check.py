@@ -97,7 +97,7 @@ def main(n_iters=3000, scene_dir="/tmp/analytic_scene",
 
 
 if __name__ == "__main__":
-    # argv: [n_iters] [compute_dtype] [normal_type-or-shorthand]
+    # argv: [n_iters] [compute_dtype] [normal_type-or-shorthand] [seed]
     # shorthands: eps -> depth_gradient_epsilon (live default),
     #             sgs -> sigma_gradient_surface (fast mode: one density
     #             JVP at B surface points instead of 4 full ray sweeps)
@@ -106,6 +106,7 @@ if __name__ == "__main__":
     nt = sys.argv[3] if len(sys.argv) > 3 else "eps"
     nt = {"eps": "normal_map_from_depth_gradient_epsilon",
           "sgs": "normal_map_from_sigma_gradient_surface"}.get(nt, nt)
-    tag = f"{dtype}_{'sgs' if 'sigma' in nt else 'eps'}"
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    tag = f"{dtype}_{'sgs' if 'sigma' in nt else 'eps'}_s{seed}"
     main(n, logdir=f"/tmp/convergence_logs_{tag}", compute_dtype=dtype,
-         normal_type=nt)
+         normal_type=nt, seed=seed)

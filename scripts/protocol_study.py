@@ -82,7 +82,7 @@ def png_metrics(run_dir, scene, iters=120000, n_images=3):
     return out
 
 
-def aggregate(basedir):
+def aggregate(basedir, rescore=False, scene="/tmp/analytic_scene_128"):
     rows = []
     for path in sorted(glob.glob(os.path.join(basedir, "p120k_*",
                                               "kitchen_gate.json"))):
@@ -91,8 +91,17 @@ def aggregate(basedir):
         dtype, seed = body.rsplit("_", 1)
         with open(path) as f:
             d = json.load(f)
-        m = png_metrics(os.path.dirname(path), "/tmp/analytic_scene_128",
-                        d["iters"]) or d["metrics"]
+        m = png_metrics(os.path.dirname(path), scene, d["iters"])
+        if m and rescore and m != d["metrics"]:
+            # rewrite the artifact in place so no json carries pre-fix
+            # raw-float scores (VERDICT r3 weak #3): the PNG-grid
+            # protocol is the only valid scoring.
+            d["metrics"] = m
+            d["rescored_on_png_grid"] = True
+            with open(path, "w") as f:
+                json.dump(d, f, indent=1)
+            print(f"[rescore] rewrote {path}")
+        m = m or d["metrics"]
         rows.append({
             "dtype": dtype, "seed": seed.lstrip("s"),
             "train_min": d["train_s"] / 60.0,
@@ -122,6 +131,9 @@ def main():
     ap.add_argument("--iters", type=int, default=120000)
     ap.add_argument("--dtypes", nargs="+", default=["bf16_grad", "float32"])
     ap.add_argument("--seeds", nargs="+", type=int, default=[0])
+    ap.add_argument("--rescore", action="store_true",
+                    help="rewrite each kitchen_gate.json with PNG-grid "
+                         "scores (purges pre-fix raw-float artifacts)")
     args = ap.parse_args()
 
     if args.run:
@@ -134,7 +146,7 @@ def main():
         for seed in args.seeds:
             for dtype in args.dtypes:
                 run_one(args.scene, args.basedir, dtype, seed, args.iters)
-    aggregate(args.basedir)
+    aggregate(args.basedir, rescore=args.rescore, scene=args.scene)
 
 
 if __name__ == "__main__":

@@ -103,7 +103,9 @@ def precompute_rays(scene):
 # torch reference side
 # --------------------------------------------------------------------------
 
-def run_reference(scene, iters, seed, log_every=200):
+def make_ref_models(seed):
+    """The torch reference's model factory at the anchor config —
+    exactly the draws run_reference trains from."""
     import torch
 
     if "torchvision" not in sys.modules:
@@ -113,17 +115,37 @@ def run_reference(scene, iters, seed, log_every=200):
         sys.modules["torchvision.transforms"] = _tv.transforms
     sys.path.insert(0, "/root/reference/src")
 
-    from nerf_models.ibl_nerf import IBLNeRF, run_network
-    from nerf_models.ibl_nerf_renderer import render_rays as ref_render_rays
-    from nerf_models.positional_embedder import get_embedder
-
-    from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
+    from nerf_models.ibl_nerf import IBLNeRF
 
     torch.manual_seed(seed)
     mk = lambda: IBLNeRF(D=D, W=W_NET, input_ch=63, input_ch_views=27,
                          skips=[4], coarse_radiance_number=K,
                          is_color_independent_to_direction=False)
-    coarse, fine = mk(), mk()
+    return mk(), mk()
+
+
+def dump_ref_init(seed, path):
+    """Save the reference's INITIAL weights (same draws run_reference
+    uses) as a .tar portable via utils/port.py — the same-init pair."""
+    import torch
+
+    coarse, fine = make_ref_models(seed)
+    torch.save({"network_fn_state_dict": coarse.state_dict(),
+                "network_fine_state_dict": fine.state_dict(),
+                "global_step": 0}, path)
+    print(f"wrote reference seed-{seed} init to {path}")
+
+
+def run_reference(scene, iters, seed, log_every=200):
+    import torch
+
+    coarse, fine = make_ref_models(seed)  # also sets up /root/reference/src
+
+    from nerf_models.ibl_nerf import run_network
+    from nerf_models.ibl_nerf_renderer import render_rays as ref_render_rays
+    from nerf_models.positional_embedder import get_embedder
+
+    from ibl_nerf_tpu.data.brdf_lut import load_brdf_lut
 
     embed_fn, _ = get_embedder(10, 0)
     embeddirs_fn, _ = get_embedder(4, 0)
@@ -246,7 +268,7 @@ def eval_reference(test_scene, render_pose):
 # our side (production CLI driver, same protocol)
 # --------------------------------------------------------------------------
 
-def run_ours(root, iters, seed, basedir):
+def run_ours(root, iters, seed, basedir, init_port=None):
     from ibl_nerf_tpu.cli.config import parse_with_includes
     from ibl_nerf_tpu.train.loop import train
 
@@ -275,6 +297,8 @@ def run_ours(root, iters, seed, basedir):
         "--i_weights", "1000000", "--compute_dtype", "float32",
         "--seed", str(seed),
     ]
+    if init_port:
+        argv += ["--init_port_path", init_port]
     targs = parse_with_includes(argv)
     t0 = time.time()
     state = train(targs)
@@ -338,17 +362,30 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip_ref", action="store_true")
     ap.add_argument("--skip_ours", action="store_true")
+    ap.add_argument("--ours_init_port", default=None, metavar="TAR",
+                    help="train ours from this torch init .tar "
+                         "(same-init pair; see --dump_ref_init)")
+    ap.add_argument("--dump_ref_init", default=None, metavar="TAR",
+                    help="only save the torch reference's seed init "
+                         "as a portable .tar, then exit")
     args = ap.parse_args()
+
+    if args.dump_ref_init:
+        dump_ref_init(args.seed, args.dump_ref_init)
+        return
 
     root = build_scene(args.scene)
     train_scene, test_scene = load_scenes(root)
     os.makedirs(args.out, exist_ok=True)
     report = {"iters": args.iters, "seed": args.seed}
+    if args.ours_init_port:
+        report["ours_init_port"] = args.ours_init_port
 
     if not args.skip_ours:
         print(f"== ours: {args.iters} iters (production CLI driver) ==")
         ours_s, state, targs = run_ours(root, args.iters, args.seed,
-                                        args.out)
+                                        args.out,
+                                        init_port=args.ours_init_port)
         results = eval_ours(state, targs, test_scene)
         np.savez(os.path.join(args.out, "ours_buffers.npz"),
                  **{k: np.asarray(v) for k, v in results.items()})
