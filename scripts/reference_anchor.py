@@ -136,7 +136,10 @@ def dump_ref_init(seed, path):
     print(f"wrote reference seed-{seed} init to {path}")
 
 
-def run_reference(scene, iters, seed, log_every=200):
+def run_reference(scene, iters, seed, log_every=200, stream_seed=None):
+    """stream_seed decouples the batch/pixel stream from the init draw
+    (seed) — same-init stream-variation studies. Default: seed (the
+    original coupled behavior)."""
     import torch
 
     coarse, fine = make_ref_models(seed)  # also sets up /root/reference/src
@@ -198,7 +201,7 @@ def run_reference(scene, iters, seed, log_every=200):
             loss = loss + mse(result[key + "0"], target)
         return loss
 
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed if stream_seed is None else stream_seed)
     t0 = time.time()
     for i in range(iters):
         img = int(rng.integers(0, images.shape[0]))
@@ -368,6 +371,9 @@ def main():
     ap.add_argument("--dump_ref_init", default=None, metavar="TAR",
                     help="only save the torch reference's seed init "
                          "as a portable .tar, then exit")
+    ap.add_argument("--ref_stream_seed", type=int, default=None,
+                    help="torch side: batch-stream seed decoupled from "
+                         "the init seed (same-init stream variation)")
     args = ap.parse_args()
 
     if args.dump_ref_init:
@@ -399,8 +405,11 @@ def main():
 
     if not args.skip_ref:
         print(f"== torch reference: {args.iters} iters ==")
+        if args.ref_stream_seed is not None:
+            report["ref_stream_seed"] = args.ref_stream_seed
         ref_s, render_pose = run_reference(train_scene, args.iters,
-                                           args.seed)
+                                           args.seed,
+                                           stream_seed=args.ref_stream_seed)
         results = eval_reference(test_scene, render_pose)
         np.savez(os.path.join(args.out, "reference_buffers.npz"),
                  **{k: np.asarray(v) for k, v in results.items()})
