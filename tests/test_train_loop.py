@@ -236,6 +236,31 @@ class TestTrainLoop:
         # loss activates at update 6, so updates 6 and 7 carry it.
         assert last["loss_depth"] > 0
 
+    def test_fast_sgs_preset_trains(self, scene_dir, tmp_path):
+        """The shipped fast preset (configs/fast_sgs.txt: sgs normals +
+        bf16_grad) trains end to end through the production driver and
+        emits finite losses + the acc_mean detector scalar."""
+        from ibl_nerf_tpu.cli.config import parse_with_includes
+        from ibl_nerf_tpu.train.loop import train
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        preset = parse_with_includes(
+            ["--config", os.path.join(repo, "configs", "fast_sgs.txt")])
+        assert preset.calculating_normal_type == (
+            "normal_map_from_sigma_gradient_surface")
+        assert preset.compute_dtype == "bf16_grad"
+
+        args = small_args(scene_dir, str(tmp_path / "logs"),
+                          extra=["--summary_step", "2"])
+        args.calculating_normal_type = preset.calculating_normal_type
+        args.compute_dtype = preset.compute_dtype
+        args.N_iter = 6
+        train(args)
+        recs = [json.loads(l) for l in
+                open(os.path.join(args.basedir, "exp", "metrics.jsonl"))]
+        assert all(np.isfinite(r["loss_total"]) for r in recs)
+        assert any("acc_mean" in r for r in recs)
+
     def test_patch_ray_sample_mode(self, scene_dir, tmp_path):
         """`--ray_sample patch` is config-reachable: the loop samples
         patch-mode pixel batches and logs the no-grad neighbor-depth
