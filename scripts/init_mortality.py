@@ -65,6 +65,9 @@ def main():
     ap = argparse.ArgumentParser("init_mortality")
     ap.add_argument("--scene", default="/tmp/anchor_scene_64")
     ap.add_argument("--n_seeds", type=int, default=200)
+    ap.add_argument("--depth", type=int, default=D,
+                    help="field depth (default: anchor config)")
+    ap.add_argument("--width", type=int, default=W_NET)
     ap.add_argument("--out", default="/tmp/init_mortality.json")
     args = ap.parse_args()
 
@@ -78,7 +81,8 @@ def main():
     root = build_scene(args.scene)
     train_scene, _ = load_scenes(root)
     pts = probe_points(train_scene)
-    fcfg = FieldConfig(depth=D, width=W_NET, coarse_radiance_number=K)
+    fcfg = FieldConfig(depth=args.depth, width=args.width,
+                       coarse_radiance_number=K)
     pe = jnp.asarray(positional_encoding(jnp.asarray(pts), fcfg.multires))
 
     density = jax.jit(lambda p: apply_field_density(p, pe, fcfg)[..., 0])
@@ -111,11 +115,12 @@ def main():
     for seed in range(args.n_seeds):
         torch.manual_seed(seed)
         for net in ("coarse", "fine"):
-            m = IBLNeRF(D=D, W=W_NET, input_ch=63, input_ch_views=27,
+            m = IBLNeRF(D=args.depth, W=args.width, input_ch=63,
+                    input_ch_views=27,
                         skips=[4], coarse_radiance_number=K,
                         is_color_independent_to_direction=False)
             sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
-            params = field_params_from_torch_state(sd, K, D)
+            params = field_params_from_torch_state(sd, K, args.depth)
             fp, mx = stats(params)
             ref.append({"seed": seed, "net": net, "fracpos": fp, "max": mx})
 
