@@ -26,9 +26,13 @@ def load_runs(patterns):
     rows = []
     for pat in patterns:
         for d in sorted(glob.glob(pat)):
-            p = os.path.join(d, "reference_anchor.json")
+            # accept run dirs (live /tmp layout) or bare .json files
+            # (the committed docs/data/anchor archive)
+            p = (d if d.endswith(".json")
+                 else os.path.join(d, "reference_anchor.json"))
             if not os.path.exists(p):
                 continue
+            d = d[:-len(".json")] if d.endswith(".json") else d
             with open(p) as f:
                 rep = json.load(f)
             if rep.get("iters") != 4000:
