@@ -82,6 +82,9 @@ def main():
                     compute_dtype=dt,
                     coarse_shading="coarse" in opts,
                     sweep_scan="scan" in opts)
+                if "sgs" in opts:   # sigma-gradient-surface fast normals
+                    rcfg = rcfg.replace(
+                        normal_type="normal_map_from_sigma_gradient_surface")
                 keys = (("color_map",) if "minimal" in opts
                         else export_keys)
                 unroll = next((int(o[1:]) for o in opts
