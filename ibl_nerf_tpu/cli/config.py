@@ -331,6 +331,12 @@ def build_parser() -> argparse.ArgumentParser:
              "a density field whose init has raw sigma < 0 over the "
              "whole scene volume (~30%% of reference-init draws; dead "
              "under ReLU forever) is deterministically re-drawn")
+    add("--init_reject_fracpos", type=float, default=0.01,
+        help="init rejection also re-draws NEAR-dead fields whose "
+             "fraction of positive-raw-sigma scene probe points is below "
+             "this floor (measured: another ~8-14%% of draws; they train "
+             "to degraded quality, e.g. the reference's anchor seed 4 at "
+             "22.2 dB). 0 restores the round-4 dead-only gate")
     return p
 
 

@@ -74,14 +74,19 @@ def field_density_stats(params, fcfg: FieldConfig, probe_pts: np.ndarray):
 def reject_dead_inits(key, variables: dict, fcfg: FieldConfig,
                       probe_pts: np.ndarray,
                       fcfg_fine: FieldConfig | None = None,
-                      max_retries: int = 16, logger=None) -> dict:
-    """Re-draw any density field whose initialization is dead.
+                      max_retries: int = 16, min_fracpos: float = 0.01,
+                      logger=None) -> dict:
+    """Re-draw any density field whose initialization is dead or near-dead.
 
     A field is dead when max raw sigma <= 0 over the probe points: ReLU
     density is 0 everywhere it will ever be queried, and its gradient is
-    identically 0, so training can never revive it. Re-draws fold the
-    field's name and retry index into `key`, so results are
-    deterministic per (seed, field).
+    identically 0, so training can never revive it. It is NEAR-dead when
+    fewer than `min_fracpos` of the probe points are positive — measured
+    (docs/data/init_mortality*.json) as another ~8-14% of draws, which
+    train but to degraded quality (the torch reference's anchor seed 4:
+    22.2 dB vs the healthy 27-28 dB band). Re-draws fold the field's
+    name and retry index into `key`, so results are deterministic per
+    (seed, field). `min_fracpos=0` restores the dead-only gate.
     """
     out = dict(variables)
     for name in ("coarse", "fine"):
@@ -90,7 +95,7 @@ def reject_dead_inits(key, variables: dict, fcfg: FieldConfig,
         cfg = fcfg_fine if (name == "fine" and fcfg_fine is not None) else fcfg
         fp, mx = field_density_stats(out[name], cfg, probe_pts)
         retry = 0
-        while mx <= 0.0 and retry < max_retries:
+        while (mx <= 0.0 or fp < min_fracpos) and retry < max_retries:
             retry += 1
             k = jax.random.fold_in(jax.random.fold_in(
                 key, ord(name[0])), retry)
@@ -98,16 +103,16 @@ def reject_dead_inits(key, variables: dict, fcfg: FieldConfig,
             fp, mx = field_density_stats(out[name], cfg, probe_pts)
         if retry and logger is not None:
             logger.warning(
-                "init rejection: %s field density was dead at init "
-                "(max raw sigma <= 0 over %d scene probe points) — "
-                "re-drew %d time(s); now fracpos=%.3f max=%.3f. "
-                "(~30%% of reference-init draws are dead; see "
-                "scripts/init_mortality.py)",
+                "init rejection: %s field density was dead or near-dead "
+                "at init (over %d scene probe points) — re-drew %d "
+                "time(s); now fracpos=%.3f max=%.3f. (~30%% of "
+                "reference-init draws are dead, another ~8-14%% "
+                "near-dead; see scripts/init_mortality.py)",
                 name, len(probe_pts), retry, fp, mx)
-        if mx <= 0.0 and logger is not None:
+        if (mx <= 0.0 or fp < min_fracpos) and logger is not None:
             logger.error(
-                "init rejection: %s field STILL dead after %d retries — "
-                "training will not learn geometry for this field",
+                "init rejection: %s field STILL dead/near-dead after %d "
+                "retries — training quality will suffer for this field",
                 name, max_retries)
     return out
 

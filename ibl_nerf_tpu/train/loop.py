@@ -253,12 +253,35 @@ def train(args):
             variables["fine"] = p_fine
         logger.info("ported initial coarse/fine weights from %s",
                     args.init_port_path)
-    if not getattr(args, "no_init_rejection", False):
+        # NEVER re-draw a ported init: a same-init cross-framework study
+        # must train from exactly these weights, or fail loudly — a
+        # silent fresh re-draw would invalidate the study while its
+        # report still claims the ported init. Probe and warn instead.
+        from ibl_nerf_tpu.train.health import (
+            field_density_stats, probe_points_from_scene)
+
+        probe = probe_points_from_scene(scene)
+        ffine = fine_field_config_from_args(args, fcfg)
+        for name in ("coarse", "fine"):
+            if name not in variables:
+                continue
+            cfg = ffine if (name == "fine" and ffine is not None) else fcfg
+            fp, mx = field_density_stats(variables[name], cfg, probe)
+            if mx <= 0.0:
+                logger.error(
+                    "ported %s field init is DEAD (max raw sigma %.3f "
+                    "<= 0 over %d scene probe points) — training it "
+                    "cannot learn geometry. Keeping it anyway because "
+                    "--init_port_path pins the exact weights.",
+                    name, mx, len(probe))
+    elif not getattr(args, "no_init_rejection", False):
         # ~30% of reference-init draws start with a DEAD density field
         # (raw sigma < 0 everywhere -> zero density gradient forever;
-        # measured for both frameworks in scripts/init_mortality.py).
-        # Deterministically re-draw dead fields. Identical on every
-        # process (pure function of seed + scene), so multi-host safe.
+        # measured for both frameworks in scripts/init_mortality.py),
+        # and another ~8-14% are NEAR-dead (<1% positive probe points;
+        # they train to degraded quality). Deterministically re-draw
+        # both basins. Identical on every process (pure function of
+        # seed + scene), so multi-host safe.
         from ibl_nerf_tpu.train.health import (
             probe_points_from_scene, reject_dead_inits)
 
@@ -266,6 +289,7 @@ def train(args):
             jax.random.fold_in(jax.random.key(seed), 0x5EED),
             variables, fcfg, probe_points_from_scene(scene),
             fcfg_fine=fine_field_config_from_args(args, fcfg),
+            min_fracpos=float(getattr(args, "init_reject_fracpos", 0.01)),
             logger=logger)
     consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
 

@@ -55,7 +55,17 @@ def load_runs(patterns):
                                       or "sameinit" in d),
                     "m": rep[side]["metrics"],
                 })
-    return rows
+    # passing both the live /tmp dirs and the committed docs/data/anchor
+    # archive must not double-count runs in the campaign means (ADVICE
+    # r4): dedup on the identifying tuple, first occurrence wins.
+    seen, unique = set(), []
+    for r in rows:
+        key = (r["dir"], r["side"], r["seed"], r["stream"])
+        if key in seen:
+            continue
+        seen.add(key)
+        unique.append(r)
+    return unique
 
 
 def table(rows, title):

@@ -216,6 +216,12 @@ def main():
     ap.add_argument("--testskip", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0,
                     help="init + per-iter PRNG seed (multi-seed studies)")
+    ap.add_argument("--normal_type",
+                    default="normal_map_from_depth_gradient_epsilon",
+                    help="calculating_normal_type for training AND the "
+                         "stage-C eval render — eps (reference default) "
+                         "or normal_map_from_sigma_gradient_surface "
+                         "(the fast preset, configs/fast_sgs.txt)")
     ap.add_argument("--smoke", action="store_true",
                     help="analytic stand-in scene, tiny net, 200 iters")
     args = ap.parse_args()
@@ -265,8 +271,7 @@ def main():
         "--beta_inferred_normal", "0.5", "--beta_inferred_depth", "20",
         "--N_iter_ignore_normal", "0",
         "--coarse_radiance_number", str(args.coarse_radiance_number),
-        "--calculating_normal_type",
-        "normal_map_from_depth_gradient_epsilon",
+        "--calculating_normal_type", args.normal_type,
         "--N_iter", str(iters),
         "--N_iter_ignore_prior", str(100000 if not args.smoke
                                      else int(iters * 0.8)),

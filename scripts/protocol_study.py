@@ -26,8 +26,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def run_one(scene, basedir, dtype, seed, iters):
-    exp = f"p120k_{dtype}_s{seed}"
+NORMAL_TYPES = {
+    "eps": "normal_map_from_depth_gradient_epsilon",
+    "sgs": "normal_map_from_sigma_gradient_surface",
+}
+
+
+def run_one(scene, basedir, dtype, seed, iters, normals="eps"):
+    # eps keeps the round-3/4 expname so finished runs are reused
+    tag = "" if normals == "eps" else f"_{normals}"
+    exp = f"p120k_{dtype}{tag}_s{seed}"
     out = os.path.join(basedir, exp, "kitchen_gate.json")
     if os.path.exists(out):
         print(f"[skip] {exp}: {out} exists")
@@ -36,6 +44,7 @@ def run_one(scene, basedir, dtype, seed, iters):
                                         "kitchen_gate.py"),
            scene, "--iters", str(iters), "--basedir", basedir,
            "--expname", exp, "--compute_dtype", dtype,
+           "--normal_type", NORMAL_TYPES[normals],
            "--seed", str(seed), "--testskip", "1"]
     print(f"[run] {' '.join(cmd)}", flush=True)
     subprocess.run(cmd, check=True)
@@ -87,8 +96,8 @@ def aggregate(basedir, rescore=False, scene="/tmp/analytic_scene_128"):
     for path in sorted(glob.glob(os.path.join(basedir, "p120k_*",
                                               "kitchen_gate.json"))):
         exp = os.path.basename(os.path.dirname(path))
-        body = exp[len("p120k_"):]          # e.g. "bf16_grad_s0"
-        dtype, seed = body.rsplit("_", 1)
+        body = exp[len("p120k_"):]     # "bf16_grad_s0", "bf16_grad_sgs_s0"
+        dtype, seed = body.rsplit("_", 1)   # dtype is the full arm label
         with open(path) as f:
             d = json.load(f)
         m = png_metrics(os.path.dirname(path), scene, d["iters"])
@@ -130,6 +139,8 @@ def main():
     ap.add_argument("--basedir", default="/tmp/p120k")
     ap.add_argument("--iters", type=int, default=120000)
     ap.add_argument("--dtypes", nargs="+", default=["bf16_grad", "float32"])
+    ap.add_argument("--normals", nargs="+", default=["eps"],
+                    choices=sorted(NORMAL_TYPES))
     ap.add_argument("--seeds", nargs="+", type=int, default=[0])
     ap.add_argument("--rescore", action="store_true",
                     help="rewrite each kitchen_gate.json with PNG-grid "
@@ -145,7 +156,9 @@ def main():
                                 n_test=3)
         for seed in args.seeds:
             for dtype in args.dtypes:
-                run_one(args.scene, args.basedir, dtype, seed, args.iters)
+                for normals in args.normals:
+                    run_one(args.scene, args.basedir, dtype, seed,
+                            args.iters, normals=normals)
     aggregate(args.basedir, rescore=args.rescore, scene=args.scene)
 
 

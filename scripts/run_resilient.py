@@ -39,14 +39,15 @@ def mtime(path):
         return None
 
 
-def run_once(cmd, heartbeat, stall_sec, claim_grace_sec, log):
+def run_once(cmd, heartbeat, stall_sec, claim_grace_sec, log,
+             poll_sec=30):
     start = time.time()
     proc = subprocess.Popen(cmd)
     started_training = False
     try:
         while True:
             try:
-                proc.wait(timeout=30)
+                proc.wait(timeout=poll_sec)
                 return proc.returncode, started_training
             except subprocess.TimeoutExpired:
                 pass
@@ -96,6 +97,7 @@ def main():
                          "after prior kills can take ~20 min)")
     ap.add_argument("--max_tries", type=int, default=8)
     ap.add_argument("--retry_pause_sec", type=int, default=45)
+    ap.add_argument("--poll_sec", type=float, default=30)
     if "--" not in sys.argv:
         ap.error("separate the command with --")
     split = sys.argv.index("--")
@@ -112,7 +114,8 @@ def main():
             return 0
         log(f"attempt {attempt}/{args.max_tries}: {' '.join(cmd)}")
         rc, _ = run_once(cmd, args.heartbeat, args.stall_sec,
-                         args.claim_grace_sec, log)
+                         args.claim_grace_sec, log,
+                         poll_sec=args.poll_sec)
         if rc == 0 and os.path.exists(args.done):
             log("success")
             return 0

@@ -86,7 +86,13 @@ def main():
         freeze_roughness=True)
 
     coarse, fine, _, _ = load_reference_checkpoint(args.init, K, D)
-    variables = {"coarse": coarse, "fine": fine or coarse}
+    if fine is None:
+        # dump_ref_init always writes both state dicts; silently
+        # substituting coarse would replay from a wrong fine init with
+        # no trace in the report (ADVICE r4).
+        raise SystemExit(f"{args.init} has no fine state dict — a "
+                         "same-init replay needs the exact fine init")
+    variables = {"coarse": coarse, "fine": fine}
     consts = {"brdf_lut": jnp.asarray(load_brdf_lut())}
     optimizer = build_optimizer(
         variables, lrate=LRATE,

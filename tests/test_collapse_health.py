@@ -85,6 +85,92 @@ class TestInitRejection:
             b = jax.tree_util.tree_leaves(again[net])
             assert all(np.array_equal(x, y) for x, y in zip(a, b))
 
+    def test_near_dead_draws_are_rejected(self, probe):
+        """~8-14% of draws are NEAR-dead (alive but <1% positive probe
+        points; they train to degraded quality — the torch reference's
+        anchor seed 4 at 22.2 dB). The default gate must re-draw them;
+        min_fracpos=0 must restore the round-4 dead-only behavior."""
+        fcfg = FieldConfig(depth=4, width=64, coarse_radiance_number=3)
+        near_dead = None
+        for seed in range(256):
+            keys = jax.random.split(jax.random.key(seed), 16)
+            for idx in range(2):
+                params = init_field_params(keys[idx], fcfg)
+                fp, mx = health.field_density_stats(params, fcfg, probe)
+                if mx > 0.0 and 0.0 < fp < 0.01:
+                    near_dead = (keys[idx], params)
+                    break
+            if near_dead:
+                break
+        assert near_dead is not None, \
+            "no near-dead init in 256 seeds (rate ~8-14%)"
+        _, params = near_dead
+        variables = {"coarse": params}
+
+        fixed = health.reject_dead_inits(jax.random.key(7), variables,
+                                         fcfg, probe)
+        fp, mx = health.field_density_stats(fixed["coarse"], fcfg, probe)
+        assert mx > 0.0 and fp >= 0.01, "near-dead draw not re-drawn"
+
+        # dead-only mode keeps it (verbatim round-4 semantics)
+        kept = health.reject_dead_inits(jax.random.key(7), variables,
+                                        fcfg, probe, min_fracpos=0.0)
+        a = jax.tree_util.tree_leaves(variables["coarse"])
+        b = jax.tree_util.tree_leaves(kept["coarse"])
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    def test_ported_init_never_redrawn(self, scene_dir, tmp_path):
+        """--init_port_path pins the exact weights: even a DEAD ported
+        init must be kept (a silent re-draw would invalidate same-init
+        cross-framework studies — ADVICE r4)."""
+        import torch
+
+        from ibl_nerf_tpu.train.loop import train
+
+        # build a torch-format init whose fields we can recognize
+        sys.path.insert(0, "/root/reference/src")
+        import types
+        if "torchvision" not in sys.modules:
+            _tv = types.ModuleType("torchvision")
+            _tv.transforms = types.ModuleType("torchvision.transforms")
+            sys.modules["torchvision"] = _tv
+            sys.modules["torchvision.transforms"] = _tv.transforms
+        from nerf_models.ibl_nerf import IBLNeRF
+
+        torch.manual_seed(0)
+        mk = lambda: IBLNeRF(D=2, W=32, input_ch=63, input_ch_views=27,
+                             skips=[4], coarse_radiance_number=2,
+                             is_color_independent_to_direction=False)
+        coarse_t, fine_t = mk(), mk()
+        # kill the fine field outright: σ bias at -100
+        with torch.no_grad():
+            fine_t.sigma_linear.bias.fill_(-100.0)
+        tar = str(tmp_path / "dead_port.tar")
+        torch.save({"network_fn_state_dict": coarse_t.state_dict(),
+                    "network_fine_state_dict": fine_t.state_dict(),
+                    "global_step": 0}, tar)
+
+        argv = [
+            "--datadir", scene_dir, "--basedir", str(tmp_path),
+            "--expname", "port", "--dataset_type", "mitsuba",
+            "--netdepth", "2", "--netwidth", "32",
+            "--N_rand", "16", "--N_samples", "8", "--N_importance", "8",
+            "--N_iter", "1", "--coarse_radiance_number", "2",
+            "--load_priors", "--prior_type", "bell",
+            "--load_depth_range_from_file",
+            "--calculating_normal_type",
+            "normal_map_from_depth_gradient_epsilon",
+            "--i_weights", "100000", "--i_testset", "100000",
+            "--use_viewdirs", "--init_port_path", tar,
+        ]
+        state = train(parse_with_includes(argv))
+        # after 1 training step the dead fine σ bias must still be the
+        # ported -100 draw drifted by at most one Adam step (lr 5e-4) —
+        # NOT a fresh re-draw (which would sit in U(±1/√fan) ≈ ±0.18)
+        b = np.asarray(state.variables["fine"]["sigma"]["b"])
+        assert np.all(b < -99.0), \
+            "ported dead fine init was re-drawn despite --init_port_path"
+
     def test_alive_init_passes_through_unchanged(self, probe):
         """Rejection must be a no-op on healthy draws — verbatim
         reference init semantics whenever the draw is live."""
