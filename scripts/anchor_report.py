@@ -93,10 +93,75 @@ def table(rows, title):
               + f" | **{ssim:.4f}** |")
 
 
+def load_replays(patterns):
+    """stream_replay.py artifacts: ours trained on torch's EXACT pixel
+    stream. Keyed by stream seed; dedup (live /tmp + committed archive),
+    first occurrence wins."""
+    out = {}
+    for pat in patterns:
+        for d in sorted(glob.glob(pat)):
+            p = (d if d.endswith(".json")
+                 else os.path.join(d, "stream_replay.json"))
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                rep = json.load(f)
+            if rep.get("iters") != 4000:
+                continue
+            out.setdefault(rep["stream_seed"], rep["metrics"])
+    return out
+
+
+def matched_stream_table(torch_rows, replays):
+    """The Δ distribution on MATCHED streams: for each torch stream N,
+    ours-replaying-that-exact-stream minus the torch run (same init,
+    same pixel sequence). mean/σ/sign count is the statistic the
+    stream-parity claim rests on (VERDICT r4 item 2)."""
+    torch_by_stream = {r["stream"]: r["m"] for r in torch_rows
+                       if r["side"] == "reference"}
+    streams = sorted(set(torch_by_stream) & set(replays))
+    if not streams:
+        return
+    print("\n### matched-stream pairs (same init + torch's exact pixel "
+          "stream)")
+    hdr = (["stream"] + [f"Δ{b} PSNR" for b in BUFS] + ["Δimage SSIM"])
+    print("| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
+    deltas = {b: [] for b in BUFS}
+    dssim = []
+    for st in streams:
+        t, o = torch_by_stream[st], replays[st]
+        row = [str(st)]
+        for b in BUFS:
+            if b in t and b in o:
+                d = o[b]["psnr"] - t[b]["psnr"]
+                deltas[b].append(d)
+                row.append(f"{d:+.2f}")
+            else:
+                row.append("-")
+        ds = o["image"]["ssim"] - t["image"]["ssim"]
+        dssim.append(ds)
+        row.append(f"{ds:+.4f}")
+        print("| " + " | ".join(row) + " |")
+    summ = []
+    for b in BUFS:
+        a = np.asarray(deltas[b])
+        summ.append(f"{np.mean(a):+.2f}±{np.std(a):.2f}")
+    print(f"| **mean±σ (n={len(streams)})** | " + " | ".join(summ)
+          + f" | {np.mean(dssim):+.4f} |")
+    img = np.asarray(deltas["image"])
+    print(f"\nimage Δ sign count: ours ahead on {int(np.sum(img > 0))}"
+          f"/{len(img)} matched streams; |mean Δ| = "
+          f"{abs(np.mean(img)):.2f} dB vs per-stream σ = "
+          f"{np.std(img):.2f} dB")
+
+
 def main():
     ap = argparse.ArgumentParser("anchor_report")
     ap.add_argument("--glob", nargs="+",
                     default=["/tmp/anchor_*", "/tmp/ref_anchor"])
+    ap.add_argument("--replay_glob", nargs="+",
+                    default=["/tmp/stream_replay_st*"])
     args = ap.parse_args()
     rows = load_runs(args.glob)
     same = [r for r in rows if r["same_init"]]
@@ -109,6 +174,7 @@ def main():
     table(indep, "independent-init pairs (ours seed N vs torch seed N)")
     table(same, "same-init study (torch seed-0 init, varied batch "
                 "streams)")
+    matched_stream_table(same, load_replays(args.replay_glob))
 
 
 if __name__ == "__main__":

@@ -69,6 +69,10 @@ def main():
                     help="field depth (default: anchor config)")
     ap.add_argument("--width", type=int, default=W_NET)
     ap.add_argument("--out", default="/tmp/init_mortality.json")
+    ap.add_argument("--post_rejection", action="store_true",
+                    help="also measure the rates AFTER train/health.py's "
+                         "default init-rejection gate (expected: 0%% "
+                         "dead+near-dead, healthy draws bit-untouched)")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +102,36 @@ def main():
         for net, k in (("coarse", keys[0]), ("fine", keys[1])):
             fp, mx = stats(init_field_params(k, fcfg))
             ours.append({"seed": seed, "net": net, "fracpos": fp, "max": mx})
+
+    # ---- ours, after the default rejection gate ------------------------
+    post = []
+    if args.post_rejection:
+        import jax as _jax
+
+        from ibl_nerf_tpu.train import health
+
+        untouched = changed = 0
+        for seed in range(args.n_seeds):
+            keys = jax.random.split(jax.random.key(seed), 16)
+            variables = {"coarse": init_field_params(keys[0], fcfg),
+                         "fine": init_field_params(keys[1], fcfg)}
+            pre = {n: stats(variables[n]) for n in variables}
+            fixed = health.reject_dead_inits(
+                _jax.random.fold_in(jax.random.key(seed), 0x5EED),
+                variables, fcfg, np.asarray(pts, np.float32))
+            for net in ("coarse", "fine"):
+                fp, mx = stats(fixed[net])
+                post.append({"seed": seed, "net": net, "fracpos": fp,
+                             "max": mx})
+                same = all(np.array_equal(a, b) for a, b in zip(
+                    jax.tree_util.tree_leaves(variables[net]),
+                    jax.tree_util.tree_leaves(fixed[net])))
+                was_healthy = (pre[net][1] > 0.0 and pre[net][0] >= 0.01)
+                if was_healthy:
+                    untouched += int(same)
+                    changed += int(not same)
+        print(f"post-rejection: healthy draws untouched {untouched}, "
+              f"healthy draws changed {changed} (must be 0)")
 
     # ---- torch reference -----------------------------------------------
     if "torchvision" not in sys.modules:
@@ -141,6 +175,9 @@ def main():
 
     report = {"ours": summarize(ours, "ours"),
               "reference": summarize(ref, "torch reference")}
+    if post:
+        report["ours_post_rejection"] = summarize(
+            post, "ours AFTER default rejection gate")
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.out}")
