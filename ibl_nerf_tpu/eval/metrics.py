@@ -44,10 +44,15 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
     k = k[None, None]  # (1, 1, kh, kw) OIHW
 
     def filt(x):
-        # (H, W, C) -> (C, 1, H, W) so each channel convolves separately
+        # (H, W, C) -> (C, 1, H, W) so each channel convolves separately.
+        # HIGHEST precision: on TPU the default rounds conv operands to
+        # bf16, and the E[x^2]-E[x]^2 variance terms then cancel
+        # catastrophically on low-variance patches — measured SSIM 0.41
+        # (even negative) on buffers whose true SSIM is 0.88.
         x = jnp.transpose(x, (2, 0, 1))[:, None]
         y = jax.lax.conv_general_dilated(
-            x, k, window_strides=(1, 1), padding="VALID")
+            x, k, window_strides=(1, 1), padding="VALID",
+            precision=jax.lax.Precision.HIGHEST)
         return y[:, 0]  # (C, H', W')
 
     c1 = (0.01 * data_range) ** 2

@@ -450,6 +450,29 @@ class TestMetrics:
         assert float(psnr(a, b)) < 25
         assert float(ssim(a, b)) < 1.0
 
+    def test_ssim_immune_to_low_matmul_precision(self, rng):
+        """The SSIM gaussian filter must pin HIGHEST conv precision: on
+        TPU the default rounds conv operands to bf16 and the
+        E[x^2]-E[x]^2 variance terms cancel catastrophically on
+        low-variance patches (measured: SSIM 0.41 / even negative on
+        buffers whose true SSIM is 0.88). Under a forced-low default
+        precision the result must be unchanged."""
+        import jax as _jax
+
+        from ibl_nerf_tpu.eval.metrics import ssim
+
+        # near-flat buffers with sub-1% texture — the cancellation regime
+        base = 0.5 + 0.004 * rng.standard_normal((64, 64, 3))
+        a = jnp.asarray(np.clip(base, 0, 1).astype(np.float32))
+        b = jnp.asarray(np.clip(base + 0.002 * rng.standard_normal(
+            (64, 64, 3)), 0, 1).astype(np.float32))
+        ref = float(ssim(a, b))
+        with _jax.default_matmul_precision("bfloat16"):
+            low = float(_jax.jit(ssim)(a, b))
+        assert abs(low - ref) < 1e-3, (
+            f"ssim changed under low default matmul precision: "
+            f"{low} vs {ref}")
+
     def test_ssim_matches_skimage_formula(self, rng):
         """Cross-check against an independent torch implementation of the
         standard gaussian-window SSIM. The oracle constructs its OWN
