@@ -10,6 +10,7 @@ Default sweep: f32 f32:pallas bf16 bf16:pallas mixed mixed:pallas.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -17,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_RAND = 512
+# PS_N_RAND: batch-size override for throughput-scaling sweeps (the
+# default 512 is the reference-workload-parity shape BASELINE.md pins).
+N_RAND = int(os.environ.get("PS_N_RAND", 512))
 WARMUP = 3
 ITERS = 20
 
