@@ -50,6 +50,16 @@ def main(compute_dtype: str | None = None, normal_type: str | None = None):
         "eps": "normal_map_from_depth_gradient_epsilon",
         "sgs": "normal_map_from_sigma_gradient_surface",
     }[normal_type]
+    # Fused fwd+bwd Pallas train kernel (round 5: promoted to the bench
+    # default): with the scoped-VMEM cap raised to 24 MB the backward
+    # fits its measured-best 512 tile and beats XLA's schedule by ~12%
+    # in both normal modes (RESULTS.md "Scoped-VMEM unlock").
+    # BENCH_PTRAIN=0 benches the pure-XLA gradient path.
+    use_ptrain = os.environ.get("BENCH_PTRAIN", "1") != "0"
+    if use_ptrain:
+        from ibl_nerf_tpu.utils.tpu import configure_pallas_train_env
+
+        configure_pallas_train_env()
     # persistent compile cache: repeat runs skip the ~1-3 min XLA compile
     from ibl_nerf_tpu.utils.cache import enable_compilation_cache
 
@@ -67,6 +77,7 @@ def main(compute_dtype: str | None = None, normal_type: str | None = None):
         normal_type=normal_name,
         correct_depth_for_prefiltered_radiance_infer=True,
         compute_dtype=compute_dtype,
+        use_pallas_train=use_ptrain,
     )
     # phase B (post-10k): approximated radiance on — the steady-state cost.
     lcfg = LossConfig(
@@ -128,8 +139,9 @@ def main(compute_dtype: str | None = None, normal_type: str | None = None):
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": f"rays/s (fwd+bwd, full IBL workload, 1 chip, "
-                f"{compute_dtype}, {normal_type} normals; median of "
-                f"{WINDOWS} windows)",
+                f"{compute_dtype}, {normal_type} normals"
+                f"{', pallas fused train kernel' if use_ptrain else ''}; "
+                f"median of {WINDOWS} windows)",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
         "windows_min": round(min(window_rates), 1),
         "windows_max": round(max(window_rates), 1),

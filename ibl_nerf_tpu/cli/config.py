@@ -310,6 +310,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="float32 | bfloat16 (MXU fast path) | mixed (f32 grads, "
              "bf16 no-grad sweeps) | bf16_grad (bf16 grads, f32 sweeps) "
              "| amp (f32 storage/grads, bf16 MXU passes w/ f32 accum)")
+    add("--use_pallas", action="store_true",
+        help="Pallas fused-field kernel on the no-grad sweeps "
+             "(parity with XLA on v5e — kept as an opt-in lever for "
+             "other topologies; see RESULTS.md)")
+    add("--use_pallas_train", action="store_true",
+        help="fused fwd+bwd custom-vjp Pallas kernel on the gradient "
+             "path; the trainer raises the scoped-VMEM cap to 24 MB "
+             "and uses the measured-best 512 backward tile (~12% "
+             "faster step than XLA's schedule in both normal modes — "
+             "RESULTS.md round 5; grad-parity-tested)")
     add("--mesh_devices", type=int, default=0,
         help="0 = all local devices; N = first N")
     add("--coordinator_address", type=str, default=None,

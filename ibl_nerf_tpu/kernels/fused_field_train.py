@@ -46,12 +46,13 @@ from ibl_nerf_tpu.kernels.fused_field import (
 import os
 
 # fwd tile (12 output buffers double-buffered in VMEM) / bwd tile
-# (residual inputs + f32 dW accumulators). TILE_B=512 compiles
-# standalone but OOMs scoped VMEM (19M > 16M) inside the full train
-# step, where XLA schedules the kernel alongside live activations —
-# 512/256 is the largest in-step-safe pair on v5e.
-# The env overrides exist for external tile sweeps (set them when
-# invoking scripts/perf_sweep.py; the script itself does not set them).
+# (residual inputs + f32 dW accumulators). At libtpu's DEFAULT 16 MB
+# scoped-VMEM cap, TILE_B=512 OOMs in-step (18.2 MB stack), so 256 is
+# the stock-safe default — which round 4 measured as perf parity with
+# XLA. Round 5: raising the cap to 24 MB (utils/tpu.py, wired into the
+# trainer and bench when use_pallas_train is on) fits the 512 tile and
+# wins ~12% whole-step in both normal modes. Env overrides
+# (IBL_PTRAIN_TILE_{F,B}) always take precedence for tile sweeps.
 
 
 def _tile_from_env(var: str, default: int) -> int:

@@ -99,6 +99,8 @@ def render_config_from_args(args, fcfg: FieldConfig) -> RenderConfig:
         infer_roughness_separate=args.infer_roughness_separate,
         infer_irradiance_separate=args.infer_irradiance_separate,
         compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
+        use_pallas_train=args.use_pallas_train,
     )
 
 
@@ -197,6 +199,12 @@ def train(args):
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
         logger.info("jax_debug_nans enabled")
+    if getattr(args, "use_pallas_train", False):
+        # must precede the kernel module import and the first compile:
+        # raises the scoped-VMEM cap (24 MB) and defaults the backward
+        # tile to the measured-best 512 (RESULTS.md round 5).
+        from ibl_nerf_tpu.utils.tpu import configure_pallas_train_env
+        configure_pallas_train_env()
 
     # Multi-host: cli.train already joined the distributed runtime; here
     # we only need to know our coordinates. Non-main processes run the

@@ -79,7 +79,8 @@ def measure_chain_plateau(width=256, n_layers=8, n_pts=393216,
 
 
 def analytic_phase_flops(n_rand=N_RAND, n_samples=64, n_importance=128,
-                         width=256, depth=8, k_coarse=3):
+                         width=256, depth=8, k_coarse=3,
+                         normal_type="eps"):
     """Hand-counted MLP FLOPs per step phase (matmuls only)."""
     in_ch, in_ch_views = 63, 27
     half = width // 2
@@ -107,18 +108,24 @@ def analytic_phase_flops(n_rand=N_RAND, n_samples=64, n_importance=128,
         # grad path: fwd + bwd = 3x fwd matmul FLOPs
         "coarse fwd+bwd": 3 * full_query(n_coarse),
         "fine fwd+bwd": 3 * full_query(n_fine),
-        # 4 eps offsets, density-only, no grad; BOTH passes shade, so
-        # both estimate normals (coarse marches 64, fine 192 samples)
-        "eps-normal sweeps (4x)": 4 * (density_query(n_coarse)
-                                       + density_query(n_fine)),
         # reflected-ray second march: both passes, along constant
         # coarse z (n_samples samples), full query, no grad
         "reflected march (2x)": 2 * full_query(n_coarse),
     }
+    if normal_type == "sgs":
+        # sigma-gradient-surface: one density JVP (fwd + tangent = 2x
+        # density FLOPs) at the B surface points, per pass — replaces
+        # the 4x full-ray sweeps entirely.
+        phases["sgs density JVP (2x)"] = 2 * 2 * density_query(n_rand)
+    else:
+        # 4 eps offsets, density-only, no grad; BOTH passes shade, so
+        # both estimate normals (coarse marches 64, fine 192 samples)
+        phases["eps-normal sweeps (4x)"] = 4 * (density_query(n_coarse)
+                                                + density_query(n_fine))
     return phases
 
 
-def measure_step(compute_dtype):
+def measure_step(compute_dtype, normal_type="eps"):
     import bench
 
     # reuse bench's exact builder by calling its main with instrumentation:
@@ -133,7 +140,9 @@ def measure_step(compute_dtype):
     fcfg = FieldConfig(depth=8, width=256, coarse_radiance_number=3)
     rcfg = RenderConfig(
         field=fcfg, n_samples=64, n_importance=128, perturb=True,
-        normal_type="normal_map_from_depth_gradient_epsilon",
+        normal_type=("normal_map_from_sigma_gradient_surface"
+                     if normal_type == "sgs"
+                     else "normal_map_from_depth_gradient_epsilon"),
         correct_depth_for_prefiltered_radiance_infer=True,
         compute_dtype=compute_dtype)
     lcfg = LossConfig(
@@ -191,7 +200,7 @@ def measure_step(compute_dtype):
     return step_ms, cost
 
 
-def main(compute_dtype="bf16_grad"):
+def main(compute_dtype="bf16_grad", normal_type="eps"):
     from ibl_nerf_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -202,7 +211,7 @@ def main(compute_dtype="bf16_grad"):
           f"({chain_ms*1e3:.2f} ms for 8x(393216,256)x(256,256)) "
           f"= {plateau/PEAK_BF16*100:.0f}% of datasheet peak", flush=True)
 
-    phases = analytic_phase_flops()
+    phases = analytic_phase_flops(normal_type=normal_type)
     total_mlp = sum(phases.values())
     print("\nanalytic per-phase MLP FLOPs:")
     for name, f in phases.items():
@@ -212,8 +221,9 @@ def main(compute_dtype="bf16_grad"):
     print(f"  {'TOTAL MLP':26s} {total_mlp/1e9:8.1f} GF   achievable "
           f"{total_mlp/plateau*1e3:5.2f} ms")
 
-    step_ms, cost = measure_step(compute_dtype)
-    print(f"\nmeasured full step ({compute_dtype}): {step_ms:.2f} ms "
+    step_ms, cost = measure_step(compute_dtype, normal_type)
+    print(f"\nmeasured full step ({compute_dtype}, {normal_type}): "
+          f"{step_ms:.2f} ms "
           f"({N_RAND/step_ms*1e3:,.0f} rays/s)")
     if "flops" in cost:
         xla_flops = cost["flops"]
@@ -247,4 +257,5 @@ def main(compute_dtype="bf16_grad"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "bf16_grad")
+    main(sys.argv[1] if len(sys.argv) > 1 else "bf16_grad",
+         sys.argv[2] if len(sys.argv) > 2 else "eps")
