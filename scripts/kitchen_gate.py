@@ -222,6 +222,9 @@ def main():
                          "stage-C eval render — eps (reference default) "
                          "or normal_map_from_sigma_gradient_surface "
                          "(the fast preset, configs/fast_sgs.txt)")
+    ap.add_argument("--use_pallas_train", action="store_true",
+                    help="train with the fused fwd+bwd Pallas kernel "
+                         "(the round-5 bench default mode)")
     ap.add_argument("--smoke", action="store_true",
                     help="analytic stand-in scene, tiny net, 200 iters")
     args = ap.parse_args()
@@ -283,6 +286,8 @@ def main():
         "--compute_dtype", args.compute_dtype,
         "--seed", str(args.seed),
     ]
+    if args.use_pallas_train:
+        train_argv += ["--use_pallas_train"]
     if args.smoke:
         train_argv += ["--netdepth", "2", "--netwidth", "32",
                        "--N_samples", "16", "--N_importance", "16",

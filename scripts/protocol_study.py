@@ -32,9 +32,12 @@ NORMAL_TYPES = {
 }
 
 
-def run_one(scene, basedir, dtype, seed, iters, normals="eps"):
+def run_one(scene, basedir, dtype, seed, iters, normals="eps",
+            pallas_train=False):
     # eps keeps the round-3/4 expname so finished runs are reused
     tag = "" if normals == "eps" else f"_{normals}"
+    if pallas_train:
+        tag += "_ptrain"
     exp = f"p120k_{dtype}{tag}_s{seed}"
     out = os.path.join(basedir, exp, "kitchen_gate.json")
     if os.path.exists(out):
@@ -46,6 +49,8 @@ def run_one(scene, basedir, dtype, seed, iters, normals="eps"):
            "--expname", exp, "--compute_dtype", dtype,
            "--normal_type", NORMAL_TYPES[normals],
            "--seed", str(seed), "--testskip", "1"]
+    if pallas_train:
+        cmd += ["--use_pallas_train"]
     print(f"[run] {' '.join(cmd)}", flush=True)
     subprocess.run(cmd, check=True)
 
@@ -142,6 +147,9 @@ def main():
     ap.add_argument("--normals", nargs="+", default=["eps"],
                     choices=sorted(NORMAL_TYPES))
     ap.add_argument("--seeds", nargs="+", type=int, default=[0])
+    ap.add_argument("--pallas_train", action="store_true",
+                    help="train with the fused fwd+bwd Pallas kernel "
+                         "(adds a _ptrain tag to the expname)")
     ap.add_argument("--rescore", action="store_true",
                     help="rewrite each kitchen_gate.json with PNG-grid "
                          "scores (purges pre-fix raw-float artifacts)")
@@ -158,7 +166,8 @@ def main():
             for dtype in args.dtypes:
                 for normals in args.normals:
                     run_one(args.scene, args.basedir, dtype, seed,
-                            args.iters, normals=normals)
+                            args.iters, normals=normals,
+                            pallas_train=args.pallas_train)
     aggregate(args.basedir, rescore=args.rescore, scene=args.scene)
 
 

@@ -261,6 +261,23 @@ class TestTrainLoop:
         assert all(np.isfinite(r["loss_total"]) for r in recs)
         assert any("acc_mean" in r for r in recs)
 
+    def test_fast_full_preset_parses(self):
+        """configs/fast_full.txt (round 5: sgs + bf16_grad + fused
+        train kernel — the bench-default mode) parses through the
+        production config front end. Training with the kernel is
+        covered by tests/test_kernels.py (grad parity + in-step run);
+        a CPU interpret-mode train here would add minutes for no new
+        coverage."""
+        from ibl_nerf_tpu.cli.config import parse_with_includes
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        preset = parse_with_includes(
+            ["--config", os.path.join(repo, "configs", "fast_full.txt")])
+        assert preset.use_pallas_train is True
+        assert preset.compute_dtype == "bf16_grad"
+        assert preset.calculating_normal_type == (
+            "normal_map_from_sigma_gradient_surface")
+
     def test_patch_ray_sample_mode(self, scene_dir, tmp_path):
         """`--ray_sample patch` is config-reachable: the loop samples
         patch-mode pixel batches and logs the no-grad neighbor-depth
