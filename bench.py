@@ -50,12 +50,15 @@ def main(compute_dtype: str | None = None, normal_type: str | None = None):
         "eps": "normal_map_from_depth_gradient_epsilon",
         "sgs": "normal_map_from_sigma_gradient_surface",
     }[normal_type]
-    # Fused fwd+bwd Pallas train kernel (round 5: promoted to the bench
-    # default): with the scoped-VMEM cap raised to 24 MB the backward
-    # fits its measured-best 512 tile and beats XLA's schedule by ~12%
-    # in both normal modes (RESULTS.md "Scoped-VMEM unlock").
-    # BENCH_PTRAIN=0 benches the pure-XLA gradient path.
-    use_ptrain = os.environ.get("BENCH_PTRAIN", "1") != "0"
+    # Fused fwd+bwd Pallas train kernel: with the scoped-VMEM cap
+    # raised to 24 MB the backward fits its measured-best 512 tile and
+    # beats XLA's schedule by ~12% in both normal modes (RESULTS.md
+    # "Scoped-VMEM unlock"). NOT the default: the 3-seed 120k protocol
+    # study has the kernel arm trailing XLA on image/radiance means
+    # (-1.6/-0.7 dB, consistent sign, within +/-2 dB seed chaos) — by
+    # the same promotion bar sgs had to clear, it stays opt-in until
+    # that is resolved. BENCH_PTRAIN=1 benches it.
+    use_ptrain = os.environ.get("BENCH_PTRAIN", "0") == "1"
     if use_ptrain:
         from ibl_nerf_tpu.utils.tpu import configure_pallas_train_env
 
